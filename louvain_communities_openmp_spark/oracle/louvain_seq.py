@@ -1,0 +1,196 @@
+"""Sequential Louvain oracle — faithful port of the reference semantics.
+
+Ground truth for the "community assignments exact vs the reference's
+sequential Louvain" criterion. Every behavioral detail below is pinned
+to the reference (puzzlef/louvain-communities-openmp):
+
+- local-move sweep in ascending vertex id, immediate (asynchronous)
+  vcom/ctot updates            → louvain.hxx:527-545 (louvainMoveW)
+- community scan skips self-loops (SELF=false)
+                               → louvain.hxx:405-411
+- ΔQ = (k_uc − k_ud)/M − R·vtot_u·(vtot_u + ctot_c − ctot_d)/(2M²)
+                               → properties.hxx:253-256 (deltaModularity)
+- argmax keeps the FIRST strict maximum in community-scan insertion
+  order (hashtable keys `vcs` are pushed at first encounter while
+  scanning the adjacency)      → louvain.hxx:454-464
+- a vertex never moves TO community 0: `if (c)` treats cmax==0 as
+  "no move" (cmax initialized to K()==0), although its phantom gain
+  still feeds the convergence l1-norm
+                               → louvain.hxx:456-461, 538-540
+- affected-vertex pruning: processing clears vaff[u]; a move flags all
+  neighbors               → louvain.hxx:534, 538-539
+- convergence: Σ gains ≤ E after each sweep; iteration count returned
+  as 0 when converged on entry → louvain.hxx:541-544 (`l>1||el? l: 0`)
+- pass loop: stop on m≤1, p≥maxPasses, or CN/GN ≥ aggregationTolerance;
+  renumber communities densely in ascending old-id order (exclusive
+  scan of the existence bitmap); flatten the first-pass membership
+  through the current level; contract edges with SELF=true, scanning
+  communities 0..C-1, member vertices ascending, adjacency in graph
+  order; re-init singletons on the coarse graph; E /= toleranceDrop
+                               → louvain.hxx:1009-1106 (louvainInvoke),
+                                 louvain.hxx:865-879, 923-928
+- defaults: resolution 1.0, tolerance 1e-2, toleranceDrop 10,
+  maxIterations 20, maxPasses 10, aggregationTolerance 0.8
+                               → louvain.hxx:60-61
+
+The coarse-graph adjacency preserves *insertion order* (the reference
+writes CSR rows in `vcs` scan order, louvain.hxx:876-877) — this is
+what makes tie-breaking reproducible across passes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class LouvainSeqResult:
+    membership: list          # ucom — final per-vertex community
+    vertex_weight: list       # utot — Σ out-edge weight per vertex (pass 0)
+    iterations: int           # total local-move iterations across passes
+    passes: int               # passes performed
+    modularity: float         # re-scored vs the ORIGINAL graph
+    pass_log: list = field(default_factory=list)  # per-pass dicts
+
+
+def _local_move(adj, vcom, ctot, vaff, vtot, M, R, L, E):
+    """One local-moving phase; mutates vcom/ctot/vaff. → louvainMoveW."""
+    l = 0
+    el = 0.0
+    while l < L:
+        el = 0.0
+        for u in range(len(adj)):
+            if not vaff[u]:
+                continue
+            d = vcom[u]
+            vcout: dict = {}  # insertion-ordered == reference vcs order
+            for v, w in adj[u]:
+                if u == v:
+                    continue  # SELF=false scan (louvain.hxx:407)
+                c = vcom[v]
+                vcout[c] = vcout.get(c, 0.0) + w
+            kud = vcout.get(d, 0.0)
+            cmax, emax = 0, 0.0
+            for c, kuc in vcout.items():
+                if c == d:
+                    continue
+                e = (kuc - kud) / M - R * vtot[u] * (vtot[u] + ctot[c] - ctot[d]) / (2.0 * M * M)
+                if e > emax:
+                    emax, cmax = e, c
+            if cmax:  # the reference's `if (c)` — community 0 never a target
+                ctot[d] -= vtot[u]
+                ctot[cmax] += vtot[u]
+                vcom[u] = cmax
+                for v, _ in adj[u]:
+                    vaff[v] = 1
+            vaff[u] = 0
+            el += emax
+        l += 1
+        if el <= E:
+            break
+    return l if (l > 1 or el != 0.0) else 0
+
+
+def louvain_seq(
+    adj,
+    resolution: float = 1.0,
+    tolerance: float = 1e-2,
+    tolerance_drop: float = 10.0,
+    max_iterations: int = 20,
+    max_passes: int = 10,
+    aggregation_tolerance: float = 0.8,
+) -> LouvainSeqResult:
+    """Run sequential Louvain on adjacency ``adj[u] = [(v, w), ...]``.
+
+    ``adj`` must be the symmetric digraph with pass-0 rows sorted by
+    destination (see oracle.graphs.adjacency).
+    """
+    S = len(adj)
+    R = resolution
+    utot = [sum(w for _, w in row) for row in adj]
+    M = sum(utot) / 2.0
+    ucom = list(range(S))
+    ctot = utot[:]
+    vaff = [1] * S
+    pass_log = []
+
+    y = None          # coarse graph (insertion-ordered adjacency)
+    vcom: list = []   # membership at current coarse level
+    vtot_y: list = []
+    E = tolerance
+    l_total, p = 0, 0
+    while M > 0 and max_passes > 0:
+        is_first = p == 0
+        if is_first:
+            m = _local_move(adj, ucom, ctot, vaff, utot, M, R, max_iterations, E)
+        else:
+            m = _local_move(y, vcom, ctot, vaff, vtot_y, M, R, max_iterations, E)
+        l_total += max(m, 1)
+        p += 1
+        cur_adj = adj if is_first else y
+        cur = ucom if is_first else vcom
+        pass_log.append({"pass": p, "iterations": m, "graph_order": len(cur_adj)})
+        if m <= 1 or p >= max_passes:
+            break
+        GN = len(cur_adj)
+        coms = sorted(set(cur))
+        CN = len(coms)
+        pass_log[-1]["communities"] = CN
+        if CN / GN >= aggregation_tolerance:
+            break
+        # renumber densely, ascending old community id (exclusive scan)
+        remap = {c: i for i, c in enumerate(coms)}
+        for u in range(len(cur)):
+            cur[u] = remap[cur[u]]
+        if not is_first:
+            for u in range(S):
+                ucom[u] = vcom[ucom[u]]
+        # contract: community member lists ascending; SELF=true scan;
+        # coarse adjacency keeps first-encounter insertion order
+        members: list = [[] for _ in range(CN)]
+        for u in range(len(cur)):
+            members[cur[u]].append(u)
+        newadj = []
+        for c in range(CN):
+            acc: dict = {}
+            for u in members[c]:
+                for v, w in cur_adj[u]:
+                    dc = cur[v]
+                    acc[dc] = acc.get(dc, 0.0) + w
+            newadj.append(list(acc.items()))
+        y = newadj
+        vtot_y = [sum(w for _, w in row) for row in y]
+        vcom = list(range(CN))
+        ctot = vtot_y[:]
+        vaff = [1] * CN
+        E /= tolerance_drop
+
+    if p > 1:
+        for u in range(S):
+            ucom[u] = vcom[ucom[u]]
+
+    q = modularity(adj, ucom, M, R) if M > 0 else 0.0
+    return LouvainSeqResult(ucom, utot, l_total, p, q, pass_log)
+
+
+def modularity(adj, com, M: float | None = None, R: float = 1.0) -> float:
+    """Q = Σ_c [cin_c/(2M) − R·(ctot_c/(2M))²].
+
+    cin counts both directions of every intra-community edge and
+    self-loops (reference: properties.hxx:177-233 modularityBy,
+    123-126 modularityCommunity).
+    """
+    if M is None:
+        M = sum(w for row in adj for _, w in row) / 2.0
+    cin: dict = {}
+    ctot: dict = {}
+    for u, row in enumerate(adj):
+        cu = com[u]
+        for v, w in row:
+            if cu == com[v]:
+                cin[cu] = cin.get(cu, 0.0) + w
+            ctot[cu] = ctot.get(cu, 0.0) + w
+    q = 0.0
+    for c, tot in ctot.items():
+        q += cin.get(c, 0.0) / (2.0 * M) - R * (tot / (2.0 * M)) ** 2
+    return q
