@@ -1,0 +1,94 @@
+"""Graph aggregations & the modularity kernel (SURVEY.md §2.3-2.4).
+
+Everything here is a declarative aggregation plan: partial+final
+HashAggregate with map-side combine (which is what makes the hub-skewed
+groupBys safe at scale — the hot key is pre-reduced per task before the
+shuffle, the distributed analog of the reference's per-thread
+hashtables, louvain.hxx:159-181).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edge_weight(edges: DataFrame) -> float:
+    """Σw over the digraph. → properties.hxx:69-106 (edgeWeight)."""
+    row = edges.agg(F.sum("w").alias("s")).collect()[0]
+    return float(row["s"] or 0.0)
+
+
+def total_weight_m(edges: DataFrame) -> float:
+    """M = edgeWeight/2. → main.cxx:67, louvain.hxx:1131."""
+    return edge_weight(edges) / 2.0
+
+
+def vertex_weights(edges: DataFrame) -> DataFrame:
+    """vtot: Σ out-edge weight per vertex, self-loops included.
+    → louvain.hxx:193-218 (louvainVertexWeightsW)."""
+    return edges.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("vtot"))
+
+
+def community_weights(membership: DataFrame, vtot: DataFrame) -> DataFrame:
+    """ctot: Σ vtot per community. → louvain.hxx:229-257."""
+    return (
+        vtot.join(membership, "id")
+        .groupBy("com")
+        .agg(F.sum("vtot").alias("ctot"))
+    )
+
+
+def community_sizes(membership: DataFrame) -> DataFrame:
+    """→ louvain.hxx:734-763 / properties.hxx:269-300."""
+    return membership.groupBy("com").agg(F.count("*").alias("size"))
+
+
+def community_count(membership: DataFrame) -> int:
+    """→ louvain.hxx:646-683 (louvainCommunityExistsW). Exact count."""
+    return membership.select("com").distinct().count()
+
+
+def modularity(
+    edges: DataFrame,
+    membership: DataFrame,
+    resolution: float = 1.0,
+    m: float | None = None,
+) -> float:
+    """Q = Σ_c [cin_c/(2M) − R·(ctot_c/(2M))²].
+
+    → properties.hxx:177-233 (modularityBy) + 123-126
+    (modularityCommunity). One declarative plan: edges ⋈ membership(src)
+    ⋈ membership(dst) → per-community (cin, ctot) → closed-form sum.
+    ``membership(id, com)`` must cover every vertex with out-edges.
+    """
+    if m is None:
+        m = total_weight_m(edges)
+    if m <= 0:
+        return 0.0
+    ms = membership.select(F.col("id").alias("src"), F.col("com").alias("csrc"))
+    md = membership.select(F.col("id").alias("dst"), F.col("com").alias("cdst"))
+    per_com = (
+        edges.join(ms, "src")
+        .join(md, "dst")
+        .groupBy("csrc")
+        .agg(
+            F.sum(F.when(F.col("csrc") == F.col("cdst"), F.col("w")).otherwise(0.0)).alias("cin"),
+            F.sum("w").alias("ctot"),
+        )
+    )
+    two_m = 2.0 * m
+    q = per_com.agg(
+        F.sum(
+            F.col("cin") / two_m
+            - resolution * F.pow(F.col("ctot") / two_m, 2)
+        ).alias("q")
+    ).collect()[0]["q"]
+    return float(q or 0.0)
+
+
+def delta_modularity_col(kuc, kud, vtot_u, ctot_c, ctot_d, m: float, resolution: float = 1.0):
+    """ΔQ column expression. → properties.hxx:253-256 (deltaModularity)."""
+    return (kuc - kud) / F.lit(m) - F.lit(resolution) * vtot_u * (
+        vtot_u + ctot_c - ctot_d
+    ) / F.lit(2.0 * m * m)

@@ -1,0 +1,135 @@
+"""Edge-table builders.
+
+The canonical engine table is ``edges(src: long, dst: long, w: double)``
+— symmetric digraph storage of an undirected graph (reference
+convention: main.cxx:102, symmetricize.hxx:72-82; M = Σw/2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.extract import extract_links
+from ..operators.transforms import symmetricize
+
+EDGE_SCHEMA = "src long, dst long, w double"
+
+
+def edges_from_list(spark: SparkSession, edge_list, n: int | None = None) -> DataFrame:
+    """Edge DataFrame from a Python list of (src, dst, w)."""
+    df = spark.createDataFrame(
+        [(int(u), int(v), float(w)) for u, v, w in edge_list], EDGE_SCHEMA
+    )
+    return df
+
+
+def dense_ids(df: DataFrame, col: str = "url", id_col: str = "id") -> DataFrame:
+    """Assign dense 0..N-1 ids to the distinct values of ``col``.
+
+    Scalable dense ranking: range-partition + sort by value, count rows
+    per partition, cumulative offsets joined back (broadcast — one row
+    per partition), then a *per-partition* row_number. Avoids the
+    single-partition global window that ``row_number().over(orderBy)``
+    would plan, so it holds at 10^12 distinct urls.
+
+    Deterministic: ids follow the global sort order of ``col``.
+    """
+    spark = df.sparkSession
+    nparts = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 1)
+    d = (
+        df.select(F.col(col).alias("_v"))
+        .distinct()
+        .repartitionByRange(nparts, "_v")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    d = d.persist()
+    counts = d.groupBy("_pid").count().collect()
+    by_pid = {r["_pid"]: r["count"] for r in counts}
+    offsets, acc = {}, 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+    off = spark.createDataFrame(
+        [(pid, o) for pid, o in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy("_v")
+    out = (
+        d.join(F.broadcast(off), "_pid")
+        .withColumn(id_col, F.row_number().over(w) - 1 + F.col("_off"))
+        .select(F.col("_v").alias(col), id_col)
+    )
+    return out
+
+
+def edges_from_pages(
+    pages: DataFrame,
+    symmetric: bool = True,
+    keep_self_loops: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """pages → (edges, ids).
+
+    Column-prunes the pages scan to (url, html), extracts hrefs with a
+    vectorized Arrow UDF, dictionary-encodes urls to dense longs, sums
+    duplicate links into weights, optionally symmetricizes. Only links
+    to urls that exist as pages are kept (out-of-corpus links dropped —
+    dangling targets would otherwise mint vertices with no page).
+
+    Returns (edges(src,dst,w), ids(url,id)).
+    """
+    links = (
+        pages.select(F.col("url").alias("src_url"), extract_links("html").alias("ls"))
+        .select("src_url", F.explode("ls").alias("dst_url"))
+    )
+    ids = dense_ids(pages.select("url"), "url").persist()
+    e = (
+        links.join(ids.withColumnRenamed("id", "src"), links.src_url == ids.url)
+        .drop("url")
+        .join(
+            ids.select(F.col("url").alias("u2"), F.col("id").alias("dst")),
+            F.col("dst_url") == F.col("u2"),
+        )
+        .select("src", "dst")
+        .withColumn("w", F.lit(1.0))
+    )
+    if not keep_self_loops:
+        e = e.where(F.col("src") != F.col("dst"))
+    e = e.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    if symmetric:
+        e = symmetricize(e)
+    return e, ids
+
+
+# ---------------------------------------------------------------------------
+# Testdata-derived graph (driver correctness gate): co-order part graph.
+# Two parts are connected iff they appear in the same order; edge weight =
+# number of co-occurring lineitem pairs. Symmetric by construction,
+# self-loop-free, deterministic, and expressible in ANSI SQL for the
+# DuckDB oracle (see __spark_entry__.oracle_sql).
+# ---------------------------------------------------------------------------
+
+COORDER_SQL = """
+SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS DOUBLE) AS w
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+"""
+
+
+def coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )

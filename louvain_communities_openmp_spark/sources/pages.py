@@ -1,0 +1,83 @@
+"""Deterministic synthetic pages table (FIXTURES.md §1).
+
+Schema (BASELINE.json input_hint): ``url string, warc_ts timestamp,
+html binary, text string, lang string``. Built entirely with Catalyst
+expressions over a planted edge DataFrame — scalable generation, no
+driver-side loops, no randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def url_of(col, n_hosts: int = 16):
+    """url(i) = https://host{i % n_hosts}.example/p{i}"""
+    return F.concat(
+        F.lit("https://host"),
+        (col % n_hosts).cast("string"),
+        F.lit(".example/p"),
+        col.cast("string"),
+    )
+
+
+def make_pages(
+    spark: SparkSession,
+    edges: DataFrame,
+    n: int,
+    n_hosts: int = 16,
+) -> DataFrame:
+    """Pages table for vertices 0..n-1 whose anchors encode ``edges``.
+
+    ``edges`` is a *directed* (src, dst, w) frame; each page embeds one
+    ``<a href>`` per out-edge in ascending dst order (duplicate edges →
+    duplicate anchors). The ``text`` column is the payload that
+    extraction must reproduce byte-identically.
+    """
+    verts = spark.range(n).withColumnRenamed("id", "src")
+    out = (
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("dsts"))
+    )
+    anchors = F.array_join(
+        F.transform(
+            F.col("dsts"),
+            lambda d: F.concat(
+                F.lit('<a href="'), url_of(d, n_hosts), F.lit('">link</a>')
+            ),
+        ),
+        "",
+    )
+    text = F.concat(
+        F.lit("Page "),
+        F.col("src").cast("string"),
+        F.lit(" corpus sample token "),
+        ((F.col("src") * 2654435761) % 997).cast("string"),
+        F.lit("."),
+    )
+    return (
+        verts.join(out, "src", "left")
+        .withColumn("dsts", F.coalesce("dsts", F.array()))
+        .select(
+            url_of(F.col("src"), n_hosts).alias("url"),
+            (
+                F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+                + F.make_interval(secs=F.col("src").cast("double"))
+            ).alias("warc_ts"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><head><title>p"),
+                    F.col("src").cast("string"),
+                    F.lit("</title></head><body>"),
+                    anchors,
+                    F.lit("<p>"),
+                    text,
+                    F.lit("</p></body></html>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+            text.alias("text"),
+            F.when(F.col("src") % 10 == 0, F.lit("de")).otherwise(F.lit("en")).alias("lang"),
+        )
+    )
