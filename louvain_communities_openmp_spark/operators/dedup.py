@@ -1,0 +1,248 @@
+"""Deduplication operators for web-scale corpora.
+
+Four families, cheapest→richest; each returns a DataFrame keyed by
+doc_id so downstream "keep one representative" is a trivial filter:
+
+- exact:     md5 hash groupBy (one shuffle, map-side combined)
+- minhash:   shingle → k minhashes → LSH bands → bucket join →
+             candidate pairs verified by exact Jaccard
+- ngram:     candidate pairs by shared shingle → exact Jaccard
+- simhash:   32-bit sign sketch over token hashes, near-dups by
+             small Hamming distance
+- embedding: cosine ≥ threshold over vector pairs (see similarity.py)
+
+Scale notes: every candidate-generation join keys on a content hash
+(uniformly distributed — no natural skew); repeated-shingle hot keys
+(boilerplate) are capped with a per-shingle document-frequency limit
+(`max_df`), the standard guard that keeps bucket joins from going
+quadratic on boilerplate at 10^12-doc scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, minhash_hex, shingles
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: (doc_id, keep_id, group_size, text_hash).
+
+    keep_id = min doc_id of the group (deterministic representative).
+    """
+    h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+    g = h.groupBy("text_hash").agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("group_size")
+    )
+    return h.join(g, "text_hash").select(id_col, "keep_id", "group_size", "text_hash")
+
+
+def dedup_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Normalized-content fingerprint dedup (whitespace/punct/case
+    insensitive): (doc_id, keep_id, group_size, fp)."""
+    h = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+    g = h.groupBy("fp").agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("group_size")
+    )
+    return h.join(g, "fp").select(id_col, "keep_id", "group_size", "fp")
+
+
+def _shingled(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+    ).where(F.size("sh") > 0)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by exact k-gram Jaccard ≥ threshold.
+
+    Candidates = pairs sharing ≥1 shingle (shingles with document
+    frequency > max_df are dropped — boilerplate guard). Output:
+    (a, b, jaccard) with a < b, jaccard rounded to 6dp.
+    """
+    s = _shingled(docs, text_col, id_col, k).persist()
+    sizes = s.select("doc", F.size("sh").alias("n"))
+    ex = s.select("doc", F.explode("sh").alias("g"))
+    ex = ex.join(
+        ex.groupBy("g").agg(F.count("*").alias("df")).where(F.col("df") <= max_df),
+        "g",
+    ).select("doc", "g")
+    common = (
+        ex.alias("x")
+        .join(ex.alias("y"), (F.col("x.g") == F.col("y.g")) & (F.col("x.doc") < F.col("y.doc")))
+        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        common.join(sizes.select(F.col("doc").alias("a"), F.col("n").alias("na")), "a")
+        .join(sizes.select(F.col("doc").alias("b"), F.col("n").alias("nb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(doc, mh_0..mh_{n-1}): md5-based minhash signature columns.
+    Engine-portable (md5 + string-min), fully deterministic."""
+    s = _shingled(docs, text_col, id_col, k)
+    cols = [minhash_hex(F.col("sh"), i).alias(f"mh_{i}") for i in range(num_hashes)]
+    return s.select("doc", *cols)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs: band-bucket join for candidates,
+    exact Jaccard verification. Output (a, b, jaccard), a < b.
+
+    shingle→minhash→band→bucket-join: bands of rows hashed together;
+    two docs collide in ≥1 band ⇒ candidate (standard S-curve).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes).persist()
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{b * rows + r}") for r in range(rows)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    banded = sig.select("doc", *band_cols)
+    stacked = banded.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
+                for b in range(bands)
+            ])
+        ).alias("bh"),
+    ).select("doc", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    cand = (
+        stacked.alias("x")
+        .join(
+            stacked.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .distinct()
+    )
+    s = _shingled(docs, text_col, id_col, k)
+    verified = (
+        cand.join(s.select(F.col("doc").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(s.select(F.col("doc").alias("b"), F.col("sh").alias("shb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.size(F.array_intersect("sha", "shb")).cast("double")
+                / F.size(F.array_union("sha", "shb")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """32-bit SimHash: per token, hash to 32 bits (md5 prefix); each bit
+    votes ±1 weighted by token frequency; sketch bit = sign of the sum.
+    Output (doc, simhash long)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " ")),
+                " ",
+            )
+        ).alias("t"),
+    ).where(F.col("t") != "")
+    h = toks.withColumn(
+        "hv", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = h.groupBy("doc").agg(*votes)
+    sketch = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2**i).cast("long")
+        sketch = term if sketch is None else sketch + term
+    return agg.select("doc", sketch.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation by 4-byte block (pigeonhole: distance ≤ 3 ⇒
+    at least one of 4 8-bit blocks equal) — block-equality bucket join,
+    then exact popcount verify.
+    """
+    s = simhash(docs, text_col, id_col).persist()
+    blocks = s.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("blk"),
+                    F.shiftright("simhash", b * 8).bitwiseAND(F.lit(255)).alias("v"),
+                )
+                for b in range(4)
+            ])
+        ).alias("kb"),
+    ).select("doc", "simhash", F.col("kb.blk").alias("blk"), F.col("kb.v").alias("v"))
+    cand = (
+        blocks.alias("x")
+        .join(
+            blocks.alias("y"),
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.v") == F.col("y.v"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("a"),
+            F.col("y.doc").alias("b"),
+            F.col("x.simhash").alias("ha"),
+            F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

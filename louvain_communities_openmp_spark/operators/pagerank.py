@@ -1,0 +1,91 @@
+"""Weighted PageRank over the edge DataFrame (north-rule companion).
+
+Semantics = oracle.simple.pagerank_seq (allclose 1e-6 target):
+    r_{t+1}(v) = (1−α)/N + α·(Σ_{u→v} r_t(u)·w(u,v)/vtot(u) + D_t/N)
+with D_t the dangling mass.
+
+Scale notes:
+- contribution aggregation is groupBy(dst).sum → partial+final
+  HashAggregate, so a hub dst is pre-reduced map-side (no hot-key
+  shuffle blowup; AQE skew handling covers the join side),
+- edge table is persisted once with the precomputed out-weight
+  (w/vtot(src)) folded in, so each iteration is ONE join + ONE
+  aggregation over a static frame,
+- every k iterations the lineage is truncated via localCheckpoint.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .properties import vertex_weights
+from .transforms import vertices
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id long, rank double)
+    iterations: int
+    err: float
+
+
+def pagerank(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    tol: float = 1e-10,
+    max_iter: int = 200,
+    checkpoint_every: int = 4,
+) -> PageRankResult:
+    spark = edges.sparkSession
+    verts = vertices(edges).persist()
+    n = verts.count()
+    if n == 0:
+        return PageRankResult(spark.createDataFrame([], "id long, rank double"), 0, 0.0)
+    vt = vertex_weights(edges)
+    # normalized transition edges: src → dst with probability mass w/vtot
+    trans = (
+        edges.join(vt.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.col("w") / F.col("vtot")).alias("p"))
+        .persist()
+    )
+    trans.count()
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).persist()
+    it, err = 0, float("inf")
+    while it < max_iter and err >= tol:
+        contrib = (
+            trans.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
+        )
+        # dangling mass: vertices with no out-edges (isolated verts)
+        dangling = (
+            ranks.join(trans.select("src").distinct(),
+                       ranks.id == F.col("src"), "left_anti")
+            .agg(F.sum("rank"))
+            .collect()[0][0]
+            or 0.0
+        )
+        base = (1.0 - alpha) / n + alpha * dangling / n
+        new_ranks = (
+            verts.join(contrib, "id", "left")
+            .select(
+                "id",
+                (F.lit(base) + F.lit(alpha) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+            )
+        ).persist()
+        err = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+            .collect()[0][0]
+            or 0.0
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+        it += 1
+        if checkpoint_every and it % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    trans.unpersist()
+    return PageRankResult(ranks, it, float(err))

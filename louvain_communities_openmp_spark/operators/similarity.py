@@ -1,0 +1,181 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute-force cosine top-k: the correctness baseline. All math in
+  DOUBLE with left-to-right accumulation (F.aggregate), so results are
+  bit-identical to a sequential oracle over the same vectors.
+- LSH (random-hyperplane sign sketch) bucketed variant: the scale
+  path — candidates only within matching sketch-prefix buckets, then
+  exact cosine re-rank. Hyperplanes are hash-derived (splitmix64), no
+  RNG state, fully deterministic and reproducible executor-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<double> columns (double math)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def as_double(a: Column) -> Column:
+    return a.cast(ArrayType(DoubleType()))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: (vec_id, embedding) — typically a small frame; it is
+    broadcast so the candidate side never shuffles. Output
+    (query_id, neighbor_id, sim) with sim rounded to 6dp; ties broken
+    by ascending neighbor_id; self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def _mix64_col(x: Column) -> Column:
+    """splitmix64 finalizer as a Catalyst expression (matches
+    oracle.graphs._mix64) — deterministic pseudo-random projection."""
+    c = (x + F.lit(-7046029254386353131)).cast("long")  # +0x9E3779B97F4A7C15 mod 2^64
+    c = (c.bitwiseXOR(F.shiftrightunsigned(c, 30)) * F.lit(-4658895280553007687)).cast("long")
+    c = (c.bitwiseXOR(F.shiftrightunsigned(c, 27)) * F.lit(-7723592293110705685)).cast("long")
+    return c.bitwiseXOR(F.shiftrightunsigned(c, 31))
+
+
+def lsh_sketch(vec: Column, planes: int = 16) -> Column:
+    """Random-hyperplane sign sketch (long). Plane p's coefficient for
+    dimension d = mix64(p*100003 + d) mapped to [-1, 1]."""
+    sketch = None
+    for p in range(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(vec) - 1),
+                    lambda d: (
+                        _mix64_col(F.lit(p * 100003).cast("long") + d.cast("long")).cast("double")
+                        / F.lit(float(2**63))
+                    ),
+                ),
+                lambda v, h: v * h,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2**p).cast("long")
+        sketch = term if sketch is None else sketch + term
+    return sketch
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 12,
+    probe_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH sketch within
+    `probe_hamming` bits of the query's sketch, re-ranked by exact
+    cosine. The bucket join replaces the cross join — at N docs and B
+    buckets the candidate set shrinks ~N/2^planes per probe, which is
+    what makes top-k tractable at corpus scale.
+    """
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("csk", lsh_sketch(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("qsk", lsh_sketch(F.col("qv"), planes))
+    pairs = (
+        c.join(F.broadcast(q),
+               F.bit_count(F.col("csk").bitwiseXOR(F.col("qsk"))) <= probe_hamming)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold),
+    LSH-bucketed: near-identical vectors share the exact sketch."""
+    c = embeddings.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("sk", lsh_sketch(F.col("v"), planes)).persist()
+    x, y = c.alias("x"), c.alias("y")
+    return (
+        x.join(y, (F.col("x.sk") == F.col("y.sk")) & (F.col("x.id") < F.col("y.id")))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,83 @@
+"""Companion operators vs their sequential oracles (exact / 1e-6)."""
+
+import math
+
+from louvain_communities_openmp_spark.oracle import (
+    adjacency,
+    connected_components_seq,
+    karate,
+    label_propagation_seq,
+    pagerank_seq,
+    toy5,
+    triangle_count_seq,
+    two_cliques,
+)
+from louvain_communities_openmp_spark.oracle.graphs import power_law
+from louvain_communities_openmp_spark.operators.components import connected_components
+from louvain_communities_openmp_spark.operators.labelprop import label_propagation
+from louvain_communities_openmp_spark.operators.pagerank import pagerank
+from louvain_communities_openmp_spark.operators.triangles import (
+    triangle_count,
+    triangle_count_total,
+)
+from louvain_communities_openmp_spark.sources.edges import edges_from_list
+
+
+def test_pagerank_allclose_karate(spark):
+    kar = karate()
+    want, _ = pagerank_seq(adjacency(kar), alpha=0.85, tol=1e-12)
+    res = pagerank(edges_from_list(spark, kar), alpha=0.85, tol=1e-12)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    assert len(got) == 34
+    for i, r in enumerate(want):
+        assert math.isclose(got[i], r, abs_tol=1e-6), i
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+def test_pagerank_allclose_powerlaw(spark):
+    pl = power_law(300, 3)
+    want, _ = pagerank_seq(adjacency(pl), tol=1e-12)
+    res = pagerank(edges_from_list(spark, pl), tol=1e-12)
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    for i, r in enumerate(want):
+        assert math.isclose(got[i], r, abs_tol=1e-6), i
+
+
+def test_components_exact(spark):
+    from louvain_communities_openmp_spark.oracle.graphs import disconnected
+
+    edges, n = disconnected(8, 0)  # isolated verts can't appear in an edge table
+    want = connected_components_seq(adjacency(edges, n=n))
+    res = connected_components(edges_from_list(spark, edges))
+    got = {r["id"]: r["comp"] for r in res.components.collect()}
+    assert got == {i: c for i, c in enumerate(want)}
+
+
+def test_components_ring(spark):
+    from louvain_communities_openmp_spark.oracle import ring_of_cliques
+
+    ring = ring_of_cliques(6, 5)
+    want = connected_components_seq(adjacency(ring))
+    res = connected_components(edges_from_list(spark, ring))
+    got = {r["id"]: r["comp"] for r in res.components.collect()}
+    assert got == {i: c for i, c in enumerate(want)}
+    assert set(got.values()) == {0}
+
+
+def test_label_propagation_exact(spark):
+    for fix in (toy5(), two_cliques(), karate()):
+        want = label_propagation_seq(adjacency(fix), max_iter=10)
+        res = label_propagation(edges_from_list(spark, fix), max_iter=10)
+        got = {r["id"]: r["label"] for r in res.labels.collect()}
+        assert got == {i: c for i, c in enumerate(want)}
+
+
+def test_triangles_exact(spark):
+    for fix in (toy5(), two_cliques(), karate()):
+        per_want, tot_want = triangle_count_seq(adjacency(fix))
+        e = edges_from_list(spark, fix)
+        assert triangle_count_total(e) == tot_want
+        res = triangle_count(e)
+        got = {r["id"]: r["triangles"] for r in res.per_vertex.collect()}
+        assert got == {i: c for i, c in enumerate(per_want)}
+        assert res.total == tot_want

@@ -1,0 +1,142 @@
+"""Louvain engine vs the sequential oracle.
+
+- exact mode: per-vertex membership EXACT vs oracle (the north-rule
+  criterion), modularity allclose 1e-6.
+- dist/auto mode: valid partition, modularity within quality bound of
+  the oracle (the reference's own OMP variant accepts the same
+  divergence from its sequential variant).
+- checkpoint/resume: mid-run restart reproduces a valid result.
+"""
+
+import math
+import shutil
+
+import pytest
+
+from louvain_communities_openmp_spark.oracle import (
+    adjacency,
+    karate,
+    louvain_seq,
+    ring_of_cliques,
+    toy5,
+    two_cliques,
+)
+from louvain_communities_openmp_spark.oracle.graphs import (
+    power_law,
+    toy5_selfloops,
+    toy5_weighted,
+)
+from louvain_communities_openmp_spark.operators.louvain import (
+    LouvainOptions,
+    louvain,
+    louvain_exact,
+)
+from louvain_communities_openmp_spark.operators.properties import modularity
+from louvain_communities_openmp_spark.sources.edges import edges_from_list
+
+FIXTURES = {
+    "toy5": toy5,
+    "toy5_selfloops": toy5_selfloops,
+    "toy5_weighted": toy5_weighted,
+    "two_cliques": two_cliques,
+    "karate": karate,
+    "ring16x8": lambda: ring_of_cliques(16, 8),
+}
+
+
+@pytest.mark.parametrize("name", list(FIXTURES))
+def test_exact_mode_matches_oracle(spark, name):
+    edge_list = FIXTURES[name]()
+    want = louvain_seq(adjacency(edge_list))
+    e = edges_from_list(spark, edge_list)
+    mem = louvain_exact(e).persist()
+    got = {r["id"]: r["com"] for r in mem.collect()}
+    assert got == {i: c for i, c in enumerate(want.membership)}, name
+    q = modularity(e, mem)
+    assert math.isclose(q, want.modularity, abs_tol=1e-6)
+
+
+def test_dist_mode_quality_two_cliques(spark):
+    edge_list = two_cliques()
+    e = edges_from_list(spark, edge_list)
+    res = louvain(e, LouvainOptions(mode="dist", num_blocks=4))
+    got = {r["id"]: r["com"] for r in res.membership.collect()}
+    assert len(got) == 16
+    # the two cliques must separate
+    assert len({got[i] for i in range(8)}) == 1
+    assert len({got[i] for i in range(8, 16)}) == 1
+    assert got[0] != got[8]
+    want = louvain_seq(adjacency(edge_list))
+    assert res.modularity >= want.modularity - 1e-9
+
+
+def test_dist_mode_quality_karate(spark):
+    e = edges_from_list(spark, karate())
+    res = louvain(e, LouvainOptions(mode="dist", num_blocks=4))
+    want = louvain_seq(adjacency(karate()))
+    # partition covers every vertex exactly once
+    assert res.membership.count() == 34
+    assert res.membership.select("id").distinct().count() == 34
+    assert res.modularity >= 0.9 * want.modularity
+    # deterministic: rerun gives identical membership
+    res2 = louvain(e, LouvainOptions(mode="dist", num_blocks=4))
+    a = sorted((r["id"], r["com"]) for r in res.membership.collect())
+    b = sorted((r["id"], r["com"]) for r in res2.membership.collect())
+    assert a == b
+
+
+def test_auto_mode_small_graph_equals_exact(spark):
+    e = edges_from_list(spark, karate())
+    res = louvain(e, LouvainOptions(mode="auto"))
+    want = louvain_seq(adjacency(karate()))
+    got = {r["id"]: r["com"] for r in res.membership.collect()}
+    assert got == {i: c for i, c in enumerate(want.membership)}
+    assert math.isclose(res.modularity, want.modularity, abs_tol=1e-6)
+
+
+def test_dist_multipass_ring(spark):
+    edge_list = ring_of_cliques(8, 6)
+    e = edges_from_list(spark, edge_list)
+    res = louvain(
+        e, LouvainOptions(mode="dist", num_blocks=4)
+    )
+    m = {r["id"]: r["com"] for r in res.membership.collect()}
+    for q in range(8):
+        assert len({m[q * 6 + i] for i in range(6)}) == 1, f"clique {q} split"
+    want = louvain_seq(adjacency(edge_list))
+    assert res.modularity >= 0.95 * want.modularity
+
+
+def test_dist_powerlaw_quality(spark):
+    edge_list = power_law(400, 3)
+    e = edges_from_list(spark, edge_list)
+    res = louvain(e, LouvainOptions(mode="dist", num_blocks=4))
+    want = louvain_seq(adjacency(edge_list))
+    assert res.modularity >= 0.9 * want.modularity
+
+
+def test_checkpoint_and_resume(spark, tmp_path):
+    rd = str(tmp_path / "run")
+    edge_list = ring_of_cliques(8, 6)
+    e = edges_from_list(spark, edge_list)
+    res = louvain(e, LouvainOptions(mode="dist", num_blocks=4, run_dir=rd))
+    base = sorted((r["id"], r["com"]) for r in res.membership.collect())
+
+    # resume of a finished run short-circuits to the stored result
+    res2 = louvain(
+        e, LouvainOptions(mode="dist", num_blocks=4, run_dir=rd, resume=True)
+    )
+    assert sorted((r["id"], r["com"]) for r in res2.membership.collect()) == base
+
+    # simulate a crash: drop the final snapshot, resume mid-run
+    import os
+
+    passes = sorted(d for d in os.listdir(rd) if d.startswith("pass_"))
+    if len(passes) > 1:
+        shutil.rmtree(os.path.join(rd, passes[-1]))
+        res3 = louvain(
+            e, LouvainOptions(mode="dist", num_blocks=4, run_dir=rd, resume=True)
+        )
+        m3 = {r["id"]: r["com"] for r in res3.membership.collect()}
+        assert len(m3) == 48
+        assert res3.modularity >= 0.95 * res.modularity
