@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship Louvain run over the co-order part graph
+derived from sf0.001. ``queries()`` — one entry per implemented
+operator (SURVEY.md §2 + pipeline ops). ``oracle_sql()`` — DuckDB
+twins; iterative/non-SQL ops are rows-only by design.
+
+Graph queries run over the *co-order part graph*: two parts are
+adjacent iff they appear in the same order (weight = co-occurrence
+count). It is symmetric and self-loop-free by construction and
+definable identically in Spark and ANSI SQL, which makes every
+non-iterative graph aggregate exactly cross-checkable.
 """
 
 from __future__ import annotations
@@ -12,27 +17,502 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from louvain_communities_openmp_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+)
+from louvain_communities_openmp_spark.operators.dedup import (
+    dedup_exact,
+    dedup_fingerprint,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from louvain_communities_openmp_spark.operators.components import connected_components
+from louvain_communities_openmp_spark.operators.labelprop import label_propagation
+from louvain_communities_openmp_spark.operators.louvain import (
+    LouvainOptions,
+    louvain,
+)
+from louvain_communities_openmp_spark.operators.pagerank import pagerank_fixed
+from louvain_communities_openmp_spark.operators.properties import (
+    community_weights,
+    vertex_weights,
+)
+from louvain_communities_openmp_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    embedding_neardup_pairs,
+)
+from louvain_communities_openmp_spark.operators.transforms import degrees, transpose
+from louvain_communities_openmp_spark.sources.edges import coorder_edges
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect == ANSI here)
+# ---------------------------------------------------------------------------
+
+_EDGES_CTE = """
+edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)"""
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_TOKS = f"regexp_split_to_array({_NORM}, ' ')".replace("{c}", "{c}")
+
+_EN_STOP = "('the','and','of','to','a','in','is','it','that','for')"
+_DE_STOP = "('der','die','das','und','ist','von','zu','den','mit','nicht')"
+
+
+def _toks(c: str) -> str:
+    return _TOKS.format(c=c)
+
+
+def _norm(c: str) -> str:
+    return _NORM.format(c=c)
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Louvain community membership + sizes on the sf0.001
+    co-order graph (driver checks rows>0, stable schema)."""
+    e = coorder_edges(spark, SF_SMOKE).persist()
+    res = louvain(e, LouvainOptions(mode="auto"))
+    return (
+        res.membership.groupBy("com")
+        .agg(F.count("*").alias("size"))
+        .join(res.membership, "com")
+        .select("id", "com", "size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_edges(spark, sf):
+    return coorder_edges(spark, sf)
+
+
+def _q_degrees(spark, sf):
+    return degrees(coorder_edges(spark, sf))
+
+
+def _q_vertex_weights(spark, sf):
+    return vertex_weights(coorder_edges(spark, sf))
+
+
+def _q_total_weight(spark, sf):
+    e = coorder_edges(spark, sf)
+    return e.agg(
+        F.sum("w").alias("total_w"), (F.sum("w") / 2.0).alias("m")
+    )
+
+
+def _q_transpose(spark, sf):
+    return transpose(coorder_edges(spark, sf))
+
+
+def _q_self_loops(spark, sf):
+    e = coorder_edges(spark, sf)
+    return e.where(F.col("src") == F.col("dst")).agg(
+        F.count("*").alias("n_self_loops")
+    )
+
+
+def _q_symmetry_violations(spark, sf):
+    e = coorder_edges(spark, sf)
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("w")
+    )
+    return e.join(rev, ["src", "dst", "w"], "left_anti").agg(
+        F.count("*").alias("n_asym")
+    )
+
+
+def _mod64_membership(e):
+    from louvain_communities_openmp_spark.operators.transforms import vertices
+
+    return vertices(e).select("id", (F.col("id") % 64).alias("com"))
+
+
+def _q_community_sizes(spark, sf):
+    e = coorder_edges(spark, sf)
+    return (
+        _mod64_membership(e).groupBy("com").agg(F.count("*").alias("size"))
+    )
+
+
+def _q_ctot(spark, sf):
+    e = coorder_edges(spark, sf)
+    return community_weights(_mod64_membership(e), vertex_weights(e)).select(
+        "com", F.round("ctot", 6).alias("ctot")
+    )
+
+
+def _q_modularity(spark, sf):
+    from louvain_communities_openmp_spark.operators.properties import modularity
+
+    e = coorder_edges(spark, sf).persist()
+    q = modularity(e, _mod64_membership(e))
+    return spark.createDataFrame([(round(q, 6),)], "q double")
+
+
+def _q_triangle_total(spark, sf):
+    from louvain_communities_openmp_spark.operators.triangles import (
+        triangle_count_total,
+    )
+
+    n = triangle_count_total(coorder_edges(spark, sf))
+    return spark.createDataFrame([(n,)], "n_triangles long")
+
+
+def _q_triangles_per_vertex(spark, sf):
+    from louvain_communities_openmp_spark.operators.triangles import triangle_count
+
+    return triangle_count(coorder_edges(spark, sf)).per_vertex
+
+
+def _q_pagerank3(spark, sf):
+    return pagerank_fixed(coorder_edges(spark, sf), alpha=0.85, iters=3)
+
+
+def _q_components(spark, sf):
+    return connected_components(coorder_edges(spark, sf)).components
+
+
+def _q_labelprop(spark, sf):
+    return label_propagation(coorder_edges(spark, sf), max_iter=4).labels
+
+
+def _q_louvain(spark, sf):
+    e = coorder_edges(spark, sf).persist()
+    res = louvain(e, LouvainOptions(mode="auto"))
+    return res.membership
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _q_dedup_exact(spark, sf):
+    return dedup_exact(_docs(spark, sf))
+
+
+def _q_dedup_fingerprint(spark, sf):
+    return dedup_fingerprint(_docs(spark, sf))
+
+
+def _q_token_count(spark, sf):
+    return _docs(spark, sf).select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+
+
+def _q_quality(spark, sf):
+    return _docs(spark, sf).select("doc_id", *quality_features(F.col("text")))
+
+
+def _q_lang_id(spark, sf):
+    return _docs(spark, sf).select(
+        "doc_id", lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def _q_fingerprint(spark, sf):
+    return _docs(spark, sf).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def _q_minhash_sig(spark, sf):
+    return minhash_signatures(_docs(spark, sf), k=5, num_hashes=8)
+
+
+def _q_ngram_pairs(spark, sf):
+    return ngram_jaccard_pairs(_docs(spark, sf), k=5, threshold=0.8)
+
+
+def _q_simhash(spark, sf):
+    return simhash(_docs(spark, sf))
+
+
+def _q_simhash_pairs(spark, sf):
+    return simhash_pairs(_docs(spark, sf), max_hamming=3)
+
+
+def _q_cosine_topk(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(10)
+    return cosine_topk_bruteforce(emb, queries, k=10)
+
+
+def _q_embed_neardup(spark, sf):
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return embedding_neardup_pairs(emb, threshold=0.98)
+
+
+def _q_events_hourly(spark, sf):
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("value_sum"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "g_edges": _q_edges,
+        "g_degrees": _q_degrees,
+        "g_vertex_weights": _q_vertex_weights,
+        "g_total_weight": _q_total_weight,
+        "g_transpose": _q_transpose,
+        "g_self_loops": _q_self_loops,
+        "g_symmetry_violations": _q_symmetry_violations,
+        "g_community_sizes_mod64": _q_community_sizes,
+        "g_ctot_mod64": _q_ctot,
+        "g_modularity_mod64": _q_modularity,
+        "g_triangle_total": _q_triangle_total,
+        "g_triangles_per_vertex": _q_triangles_per_vertex,
+        "g_pagerank3": _q_pagerank3,
+        "g_components": _q_components,
+        "g_labelprop": _q_labelprop,
+        "g_louvain": _q_louvain,
+        "d_dedup_exact": _q_dedup_exact,
+        "d_dedup_fingerprint": _q_dedup_fingerprint,
+        "d_token_count": _q_token_count,
+        "d_quality": _q_quality,
+        "d_lang_id": _q_lang_id,
+        "d_fingerprint": _q_fingerprint,
+        "d_minhash_sig": _q_minhash_sig,
+        "d_ngram_pairs": _q_ngram_pairs,
+        "d_simhash": _q_simhash,
+        "d_simhash_pairs": _q_simhash_pairs,
+        "e_cosine_topk": _q_cosine_topk,
+        "e_embed_neardup": _q_embed_neardup,
+        "ev_hourly": _q_events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_sql() -> str:
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    sketch = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS doc, unnest({_toks('text')}) AS t
+  FROM documents WHERE {_norm('text')} <> ''
+), h AS (
+  SELECT doc, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hv FROM toks
+), agg AS (
+  SELECT doc, {votes} FROM h GROUP BY doc
+)
+SELECT doc, {sketch} AS simhash FROM agg
+"""
+
+
+def _minhash_sig_sql(k: int = 5, num_hashes: int = 8) -> str:
+    mh = ",\n    ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS doc, {_toks('text')} AS toks
+  FROM documents WHERE {_norm('text')} <> ''
+), s AS (
+  SELECT doc, CASE WHEN len(toks) < {k} THEN [array_to_string(toks, ' ')]
+    ELSE list_distinct(list_transform(generate_series(1, len(toks)-{k}+1),
+         i -> array_to_string(toks[i:i+{k - 1}], ' '))) END AS sh
+  FROM t
+)
+SELECT doc, {mh} FROM s WHERE len(sh) > 0
+"""
+
+
+def _pagerank3_sql(alpha: float = 0.85, iters: int = 3) -> str:
+    ctes = [
+        _EDGES_CTE.strip(),
+        "vt AS (SELECT src AS id, sum(w) AS vtot FROM edges GROUP BY src)",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vt)",
+        "r0 AS (SELECT id, 1.0/nv.n AS rank FROM vt, nv)",
+    ]
+    for t in range(iters):
+        ctes.append(f"""
+r{t + 1} AS (
+  SELECT v.id,
+         (1.0 - {alpha})/nv.n + {alpha} * coalesce(c.s, 0.0) AS rank
+  FROM vt v CROSS JOIN nv
+  LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank * e.w / v2.vtot) AS s
+    FROM edges e JOIN r{t} r ON e.src = r.id JOIN vt v2 ON e.src = v2.id
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 7) AS rank FROM r{iters}"
+    )
+
+
+def _ngram_pairs_sql(k: int = 5, threshold: float = 0.8, max_df: int = 1000) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id AS doc, {_toks('text')} AS toks
+  FROM documents WHERE {_norm('text')} <> ''
+), s AS (
+  SELECT doc, CASE WHEN len(toks) < {k} THEN [array_to_string(toks, ' ')]
+    ELSE list_distinct(list_transform(generate_series(1, len(toks)-{k}+1),
+         i -> array_to_string(toks[i:i+{k - 1}], ' '))) END AS sh
+  FROM t
+), sz AS (SELECT doc, len(sh) AS n FROM s WHERE len(sh) > 0),
+ex0 AS (SELECT doc, unnest(sh) AS g FROM s),
+keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= {max_df}),
+ex AS (SELECT ex0.doc, ex0.g FROM ex0 JOIN keep USING (g)),
+common AS (
+  SELECT x.doc AS a, y.doc AS b, count(*) AS inter
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc < y.doc
+  GROUP BY x.doc, y.doc
+)
+SELECT a, b,
+       round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+FROM common
+JOIN sz na ON na.doc = a
+JOIN sz nb ON nb.doc = b
+WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= {threshold} - 1e-12
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tc = (
+        f"CASE WHEN {_norm('text')} = '' THEN 0 "
+        f"ELSE len({_toks('text')}) END"
+    )
+    en_cnt = f"len(list_filter({_toks('text')}, x -> x IN {_EN_STOP}))"
+    de_cnt = f"len(list_filter({_toks('text')}, x -> x IN {_DE_STOP}))"
+    return {
+        "g_edges": """
+SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS DOUBLE) AS w
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey""",
+        "g_degrees": f"WITH {_EDGES_CTE.strip()}\n"
+        "SELECT src AS id, count(*) AS degree FROM edges GROUP BY src",
+        "g_vertex_weights": f"WITH {_EDGES_CTE.strip()}\n"
+        "SELECT src AS id, sum(w) AS vtot FROM edges GROUP BY src",
+        "g_total_weight": f"WITH {_EDGES_CTE.strip()}\n"
+        "SELECT sum(w) AS total_w, sum(w)/2.0 AS m FROM edges",
+        "g_transpose": f"WITH {_EDGES_CTE.strip()}\n"
+        "SELECT dst AS src, src AS dst, w FROM edges",
+        "g_self_loops": f"WITH {_EDGES_CTE.strip()}\n"
+        "SELECT count(*) AS n_self_loops FROM edges WHERE src = dst",
+        "g_symmetry_violations": f"WITH {_EDGES_CTE.strip()}\n"
+        "SELECT count(*) AS n_asym FROM edges e WHERE NOT EXISTS ("
+        "SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src AND r.w = e.w)",
+        "g_community_sizes_mod64": f"WITH {_EDGES_CTE.strip()},\n"
+        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)\n"
+        "SELECT id % 64 AS com, count(*) AS size FROM v GROUP BY id % 64",
+        "g_ctot_mod64": f"WITH {_EDGES_CTE.strip()},\n"
+        "vt AS (SELECT src AS id, sum(w) AS vtot FROM edges GROUP BY src)\n"
+        "SELECT id % 64 AS com, round(sum(vtot), 6) AS ctot FROM vt GROUP BY id % 64",
+        "g_modularity_mod64": f"WITH {_EDGES_CTE.strip()},\n"
+        """m AS (SELECT sum(w)/2.0 AS m FROM edges),
+per AS (
+  SELECT e.src % 64 AS c,
+         sum(CASE WHEN e.src % 64 = e.dst % 64 THEN e.w ELSE 0 END) AS cin,
+         sum(e.w) AS ctot
+  FROM edges e GROUP BY e.src % 64
+)
+SELECT round(sum(cin/(2*m.m) - pow(ctot/(2*m.m), 2)), 6) AS q FROM per, m GROUP BY m.m""",
+        "g_triangle_total": f"WITH {_EDGES_CTE.strip()},\n"
+        """c AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst)
+SELECT count(*) AS n_triangles
+FROM c e1 JOIN c e2 ON e1.dst = e2.src JOIN c e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+        "g_triangles_per_vertex": f"WITH {_EDGES_CTE.strip()},\n"
+        """c AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS cc
+  FROM c e1 JOIN c e2 ON e1.dst = e2.src JOIN c e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+cnt AS (
+  SELECT id, count(*) AS t FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT cc FROM tri
+  ) GROUP BY id
+)
+SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id = cnt.id""",
+        "g_pagerank3": _pagerank3_sql(),
+        "d_dedup_exact": """
+WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
+g AS (SELECT text_hash, min(doc_id) AS keep_id, count(*) AS group_size FROM h GROUP BY text_hash)
+SELECT h.doc_id, g.keep_id, g.group_size, h.text_hash FROM h JOIN g USING (text_hash)""",
+        "d_dedup_fingerprint": f"""
+WITH h AS (SELECT doc_id, substr(md5({_norm("text")}), 1, 16) AS fp FROM documents),
+g AS (SELECT fp, min(doc_id) AS keep_id, count(*) AS group_size FROM h GROUP BY fp)
+SELECT h.doc_id, g.keep_id, g.group_size, h.fp FROM h JOIN g USING (fp)""",
+        "d_token_count": f"SELECT doc_id, {tc} AS n_tokens FROM documents",
+        "d_quality": f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  {tc} AS n_tokens,
+  round(CASE WHEN {tc} > 0 THEN CAST(list_sum(list_transform({_toks("text")}, x -> length(x))) AS DOUBLE) / {tc} ELSE 0.0 END, 6) AS mean_token_len,
+  round(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS alpha_ratio,
+  round(CASE WHEN {tc} > 0 THEN CAST({en_cnt} AS DOUBLE) / {tc} ELSE 0.0 END, 6) AS stopword_ratio
+FROM documents""",
+        "d_lang_id": f"""
+SELECT doc_id,
+  CASE WHEN {en_cnt} = 0 AND {de_cnt} = 0 THEN 'und'
+       WHEN {de_cnt} > {en_cnt} THEN 'de' ELSE 'en' END AS lang_pred
+FROM documents""",
+        "d_fingerprint": f"SELECT doc_id, substr(md5({_norm('text')}), 1, 16) AS fp FROM documents",
+        "d_minhash_sig": _minhash_sig_sql(),
+        "d_ngram_pairs": _ngram_pairs_sql(),
+        "d_simhash": _simhash_sql(),
+        "e_cosine_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 10
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= 10""",
+        "ev_hourly": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 6) AS value_sum
+FROM events GROUP BY 1, 2""",
+    }

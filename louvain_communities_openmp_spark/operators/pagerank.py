@@ -89,3 +89,32 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=True)
     trans.unpersist()
     return PageRankResult(ranks, it, float(err))
+
+
+def pagerank_fixed(
+    edges: DataFrame, alpha: float = 0.85, iters: int = 3
+) -> DataFrame:
+    """Fixed-iteration PageRank without dangling redistribution —
+    intended for sink-free (symmetric) graphs, where it equals the
+    converging variant truncated at `iters`. Exists so the computation
+    is expressible as unrolled ANSI SQL for cross-engine verification.
+    Returns (id, rank) with rank rounded to 7dp."""
+    vt = vertex_weights(edges).persist()
+    n = vt.count()
+    trans = (
+        edges.join(vt.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.col("w") / F.col("vtot")).alias("p"))
+        .persist()
+    )
+    ranks = vt.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            trans.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
+        )
+        ranks = vt.select("id").join(contrib, "id", "left").select(
+            "id",
+            (F.lit((1.0 - alpha) / n) + F.lit(alpha) * F.coalesce("c", F.lit(0.0))).alias("rank"),
+        )
+    return ranks.select("id", F.round("rank", 7).alias("rank"))

@@ -80,32 +80,24 @@ def cosine_topk_bruteforce(
     )
 
 
-def _mix64_col(x: Column) -> Column:
-    """splitmix64 finalizer as a Catalyst expression (matches
-    oracle.graphs._mix64) — deterministic pseudo-random projection."""
-    c = (x + F.lit(-7046029254386353131)).cast("long")  # +0x9E3779B97F4A7C15 mod 2^64
-    c = (c.bitwiseXOR(F.shiftrightunsigned(c, 30)) * F.lit(-4658895280553007687)).cast("long")
-    c = (c.bitwiseXOR(F.shiftrightunsigned(c, 27)) * F.lit(-7723592293110705685)).cast("long")
-    return c.bitwiseXOR(F.shiftrightunsigned(c, 31))
+def _plane_coefs(plane: int, dim: int) -> list[float]:
+    """Deterministic hyperplane coefficients in [-1, 1): splitmix64 of
+    (plane, dimension), computed driver-side once and shipped as a
+    literal array (stays inside whole-stage codegen; no per-row
+    hashing)."""
+    from ..oracle.graphs import _mix64
+
+    return [_mix64(plane * 100_003 + d) / float(2**63) - 1.0 for d in range(dim)]
 
 
-def lsh_sketch(vec: Column, planes: int = 16) -> Column:
-    """Random-hyperplane sign sketch (long). Plane p's coefficient for
-    dimension d = mix64(p*100003 + d) mapped to [-1, 1]."""
+def lsh_sketch(vec: Column, planes: int, dim: int) -> Column:
+    """Random-hyperplane sign sketch (long) for array<double> vectors
+    of length `dim`."""
     sketch = None
     for p in range(planes):
+        coefs = F.array(*[F.lit(c) for c in _plane_coefs(p, dim)])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(vec) - 1),
-                    lambda d: (
-                        _mix64_col(F.lit(p * 100003).cast("long") + d.cast("long")).cast("double")
-                        / F.lit(float(2**63))
-                    ),
-                ),
-                lambda v, h: v * h,
-            ),
+            F.zip_with(vec, coefs, lambda v, h: v * h),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -113,6 +105,11 @@ def lsh_sketch(vec: Column, planes: int = 16) -> Column:
         term = bit * F.lit(2**p).cast("long")
         sketch = term if sketch is None else sketch + term
     return sketch
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row else 0
 
 
 def cosine_topk_lsh(
@@ -130,13 +127,14 @@ def cosine_topk_lsh(
     buckets the candidate set shrinks ~N/2^planes per probe, which is
     what makes top-k tractable at corpus scale.
     """
+    dim = _dim_of(embeddings, vec_col)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("csk", lsh_sketch(F.col("cv"), planes))
+    ).withColumn("csk", lsh_sketch(F.col("cv"), planes, dim))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).withColumn("qsk", lsh_sketch(F.col("qv"), planes))
+    ).withColumn("qsk", lsh_sketch(F.col("qv"), planes, dim))
     pairs = (
         c.join(F.broadcast(q),
                F.bit_count(F.col("csk").bitwiseXOR(F.col("qsk"))) <= probe_hamming)
@@ -166,9 +164,10 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, sim ≥ threshold),
     LSH-bucketed: near-identical vectors share the exact sketch."""
+    dim = _dim_of(embeddings, vec_col)
     c = embeddings.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("sk", lsh_sketch(F.col("v"), planes)).persist()
+    ).withColumn("sk", lsh_sketch(F.col("v"), planes, dim)).persist()
     x, y = c.alias("x"), c.alias("y")
     return (
         x.join(y, (F.col("x.sk") == F.col("y.sk")) & (F.col("x.id") < F.col("y.id")))

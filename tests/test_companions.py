@@ -24,23 +24,26 @@ from louvain_communities_openmp_spark.sources.edges import edges_from_list
 
 
 def test_pagerank_allclose_karate(spark):
+    # identical fixed-iteration trajectories (tol=0): engine must match
+    # the oracle to float precision, iteration by iteration
     kar = karate()
-    want, _ = pagerank_seq(adjacency(kar), alpha=0.85, tol=1e-12)
-    res = pagerank(edges_from_list(spark, kar), alpha=0.85, tol=1e-12)
+    want, _ = pagerank_seq(adjacency(kar), alpha=0.85, tol=0.0, max_iter=20)
+    res = pagerank(edges_from_list(spark, kar), alpha=0.85, tol=0.0, max_iter=20)
     got = {r["id"]: r["rank"] for r in res.ranks.collect()}
     assert len(got) == 34
+    assert res.iterations == 20
     for i, r in enumerate(want):
-        assert math.isclose(got[i], r, abs_tol=1e-6), i
+        assert math.isclose(got[i], r, abs_tol=1e-9), i
     assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
 
 
 def test_pagerank_allclose_powerlaw(spark):
     pl = power_law(300, 3)
-    want, _ = pagerank_seq(adjacency(pl), tol=1e-12)
-    res = pagerank(edges_from_list(spark, pl), tol=1e-12)
+    want, _ = pagerank_seq(adjacency(pl), tol=0.0, max_iter=15)
+    res = pagerank(edges_from_list(spark, pl), tol=0.0, max_iter=15)
     got = {r["id"]: r["rank"] for r in res.ranks.collect()}
     for i, r in enumerate(want):
-        assert math.isclose(got[i], r, abs_tol=1e-6), i
+        assert math.isclose(got[i], r, abs_tol=1e-9), i
 
 
 def test_components_exact(spark):

@@ -1,0 +1,79 @@
+"""Structured-Streaming edge-delta ingestion (dynamic-graph analog)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from louvain_communities_openmp_spark.oracle import toy5
+from louvain_communities_openmp_spark.sources.edges import edges_from_list
+from louvain_communities_openmp_spark.streaming.edge_stream import (
+    DELTA_SCHEMA,
+    EdgeStateStore,
+    apply_delta_batch,
+    start_edge_delta_stream,
+    windowed_edge_rates,
+)
+
+
+def test_state_store_roundtrip(spark, tmp_path):
+    store = EdgeStateStore(spark, str(tmp_path / "state"))
+    assert store.latest_version() is None
+    e = edges_from_list(spark, toy5())
+    v = store.commit(e, batch_id=0, stats={"edges": e.count()})
+    assert store.latest_version() == v
+    back = store.load()
+    assert back.count() == 12
+
+
+def test_apply_delta_batch_symmetric(spark, tmp_path):
+    store = EdgeStateStore(spark, str(tmp_path / "state"))
+    store.commit(edges_from_list(spark, toy5()), 0, {})
+    deltas = spark.createDataFrame(
+        [("del", 3, 4, 1.0), ("ins", 0, 4, 2.0)], DELTA_SCHEMA
+    )
+    apply_delta_batch(store, deltas, 1)
+    got = {(r["src"], r["dst"]): r["w"] for r in store.load().collect()}
+    assert (3, 4) not in got and (4, 3) not in got
+    assert got[(0, 4)] == 2.0 and got[(4, 0)] == 2.0
+    # re-inserting an existing edge is a no-op (must-not-exist tidy rule)
+    deltas2 = spark.createDataFrame([("ins", 0, 1, 9.0)], DELTA_SCHEMA)
+    apply_delta_batch(store, deltas2, 2)
+    got2 = {(r["src"], r["dst"]): r["w"] for r in store.load().collect()}
+    assert got2[(0, 1)] == 1.0
+
+
+def test_streaming_drain(spark, tmp_path):
+    delta_dir = str(tmp_path / "deltas")
+    os.makedirs(delta_dir)
+    spark.createDataFrame(
+        [("ins", 0, 1, 1.0), ("ins", 1, 2, 1.0)], DELTA_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(delta_dir)
+    spark.createDataFrame([("del", 0, 1, 1.0)], DELTA_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(delta_dir)
+    state_dir = str(tmp_path / "state")
+    q = start_edge_delta_stream(spark, delta_dir, state_dir)
+    q.awaitTermination(120)
+    store = EdgeStateStore(spark, state_dir)
+    got = {(r["src"], r["dst"]) for r in store.load().collect()}
+    # both files may land in one micro-batch or two; either way the
+    # final state contains 1-2 (+reverse) and not 0-1
+    assert (1, 2) in got and (2, 1) in got
+    assert store.latest_version() is not None
+
+
+def test_windowed_rates_batch_parity(spark):
+    rows = [
+        ("2025-01-01 00:00:01", "ins", 0, 1, 1.0),
+        ("2025-01-01 00:00:05", "ins", 1, 2, 1.0),
+        ("2025-01-01 00:00:15", "del", 0, 1, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts string, op string, src long, dst long, w double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r["op"], str(r["start"])): r["n"]
+        for r in windowed_edge_rates(df, "10 seconds").collect()
+    }
+    assert got[("ins", "2025-01-01 00:00:00")] == 2
+    assert got[("del", "2025-01-01 00:00:10")] == 1
