@@ -25,10 +25,16 @@ class ComponentsResult:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 200, checkpoint_every: int = 4
+    edges: DataFrame, max_iter: int = 200
 ) -> ComponentsResult:
     e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).persist()
-    comp = vertices(edges).select("id", F.col("id").alias("comp")).persist()
+    # eager localCheckpoint per round: truncates lineage and avoids the
+    # unpersist-cascade recompute (see labelprop.py)
+    comp = (
+        vertices(edges)
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
     # frontier: vertices whose label may still shrink (all, initially)
     frontier = comp
     it = 0
@@ -46,17 +52,12 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("new_comp", F.col("comp"))).alias("comp"),
                 (F.coalesce("new_comp", F.lit(2**62)) < F.col("comp")).alias("changed"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = merged.where("changed").count()
-        new_comp = merged.select("id", "comp").persist()
+        comp = merged.select("id", "comp")
         frontier = merged.where("changed").select("id", "comp")
-        comp.unpersist()
-        comp = new_comp
         it += 1
-        if checkpoint_every and it % checkpoint_every == 0:
-            comp = comp.localCheckpoint(eager=True)
-            frontier = frontier.localCheckpoint(eager=True)
         if changed == 0:
             break
     e.unpersist()

@@ -28,10 +28,17 @@ class LabelPropResult:
 
 
 def label_propagation(
-    edges: DataFrame, max_iter: int = 10, checkpoint_every: int = 5
+    edges: DataFrame, max_iter: int = 10
 ) -> LabelPropResult:
     e = edges.select("src", "dst", "w").where(F.col("src") != F.col("dst")).persist()
-    labels = vertices(edges).select("id", F.col("id").alias("label")).persist()
+    # eager localCheckpoint per round: truncates lineage AND avoids the
+    # unpersist-cascade (unpersisting a parent invalidates caches built
+    # on it, which silently re-runs the whole chain on later rounds)
+    labels = (
+        vertices(edges)
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=True)
+    )
     it = 0
     while it < max_iter:
         scored = (
@@ -55,15 +62,11 @@ def label_propagation(
                 F.coalesce("new_label", "label").alias("label"),
                 (F.coalesce("new_label", "label") != F.col("label")).alias("changed"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = merged.where("changed").count()
-        new_labels = merged.select("id", "label").persist()
-        labels.unpersist()
-        labels = new_labels
+        labels = merged.select("id", "label")
         it += 1
-        if checkpoint_every and it % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
         if changed == 0:
             break
     e.unpersist()

@@ -37,7 +37,6 @@ def pagerank(
     alpha: float = 0.85,
     tol: float = 1e-10,
     max_iter: int = 200,
-    checkpoint_every: int = 4,
 ) -> PageRankResult:
     spark = edges.sparkSession
     verts = vertices(edges).persist()
@@ -52,7 +51,11 @@ def pagerank(
         .persist()
     )
     trans.count()
-    ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).persist()
+    # eager localCheckpoint per round: truncates lineage and avoids the
+    # unpersist-cascade recompute (see labelprop.py)
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
     it, err = 0, float("inf")
     while it < max_iter and err >= tol:
         contrib = (
@@ -75,18 +78,15 @@ def pagerank(
                 "id",
                 (F.lit(base) + F.lit(alpha) * F.coalesce("c", F.lit(0.0))).alias("rank"),
             )
-        ).persist()
+        ).localCheckpoint(eager=True)
         err = (
             new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
             .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
             .collect()[0][0]
             or 0.0
         )
-        ranks.unpersist()
         ranks = new_ranks
         it += 1
-        if checkpoint_every and it % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
     trans.unpersist()
     return PageRankResult(ranks, it, float(err))
 
