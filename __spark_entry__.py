@@ -268,6 +268,21 @@ def _q_embed_neardup(spark, sf):
     return embedding_neardup_pairs(emb, threshold=0.98)
 
 
+def _q_describe(spark, sf):
+    from louvain_communities_openmp_spark.operators.structure import describe_graph
+
+    return describe_graph(coorder_edges(spark, sf))
+
+
+def _q_disconnected_mod64(spark, sf):
+    from louvain_communities_openmp_spark.operators.structure import (
+        disconnected_communities,
+    )
+
+    e = coorder_edges(spark, sf).persist()
+    return disconnected_communities(e, _mod64_membership(e))
+
+
 def _q_events_hourly(spark, sf):
     ev = spark.read.parquet(f"{sf}/events.parquet")
     return (
@@ -308,6 +323,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash_pairs": _q_simhash_pairs,
         "e_cosine_topk": _q_cosine_topk,
         "e_embed_neardup": _q_embed_neardup,
+        "g_describe": _q_describe,
+        "g_disconnected_mod64": _q_disconnected_mod64,
         "ev_hourly": _q_events_hourly,
     }
 
@@ -471,6 +488,12 @@ cnt AS (
 )
 SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id = cnt.id""",
         "g_pagerank3": _pagerank3_sql(),
+        "g_describe": f"WITH {_EDGES_CTE.strip()},\n"
+        """v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)
+SELECT (SELECT count(*) FROM v) AS "order", count(*) AS size,
+       sum(w) AS total_weight,
+       CAST(sum(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT) AS self_loops
+FROM edges""",
         "d_dedup_exact": """
 WITH h AS (SELECT doc_id, md5(text) AS text_hash FROM documents),
 g AS (SELECT text_hash, min(doc_id) AS keep_id, count(*) AS group_size FROM h GROUP BY text_hash)

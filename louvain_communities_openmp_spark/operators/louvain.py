@@ -35,6 +35,7 @@ metrics/lineage to a RunDir, so any pass is resumable (north rule).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -76,7 +77,10 @@ class LouvainResult:
 
 
 MEMBERSHIP_SCHEMA = "id long, com long"
-_MOVE_SCHEMA = "id long, com long, gain double"
+# kernel emission: one row per block-owned vertex (authoritative com)
+# plus rows flagging movers' neighbors (com null). vaff = affected flag
+# for the NEXT iteration (louvain.hxx:534-539 semantics).
+_MOVE_SCHEMA = "id long, com long, gain double, vaff boolean"
 
 
 def _exact_kernel_factory(opts: LouvainOptions):
@@ -150,11 +154,24 @@ def _block_sweep(pdf: pd.DataFrame, rnd: int = 0, gate: int = 1) -> pd.DataFrame
     symmetry while keeping the run reproducible.
 
     Deterministic: ascending-src sweep, tie-break (max ΔQ, min com).
+
+    Frontier bookkeeping is fused into the kernel (no extra Spark jobs):
+    processing clears a vertex's flag, a move flags all its neighbors —
+    in-block AND out-of-block (emitted as com-null rows) — and gated
+    vertices keep their flag (still unprocessed). The driver just
+    groupBy(id)-merges the emissions.
     """
     import numpy as np
 
     if len(pdf) == 0:
-        return pd.DataFrame({"id": [], "com": [], "gain": []})
+        return pd.DataFrame(
+            {
+                "id": pd.Series(dtype="int64"),
+                "com": pd.Series(dtype="Int64"),
+                "gain": pd.Series(dtype="float64"),
+                "vaff": pd.Series(dtype="bool"),
+            }
+        )
     pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
     src = pdf["src"].values
     dst = pdf["dst"].values
@@ -175,15 +192,21 @@ def _block_sweep(pdf: pd.DataFrame, rnd: int = 0, gate: int = 1) -> pd.DataFrame
 
     bounds = np.flatnonzero(np.r_[True, src[1:] != src[:-1], True])
     vtot_s = pdf["vtot_s"].values
+    flags: dict = {}  # explicit flag updates this round (vaff)
     out_id, out_com, out_gain = [], [], []
+    owned: set = set()
     for k in range(len(bounds) - 1):
         lo, hi = int(bounds[k]), int(bounds[k + 1])
         u = int(src[lo])
+        owned.add(u)
         if gate > 1 and _mix64(u * 1_000_003 + rnd) % gate != 0:
+            # gated out: stays marked for a later round
+            flags.setdefault(u, True)
             out_id.append(u)
             out_com.append(comm[u])
             out_gain.append(0.0)
             continue
+        flags[u] = False  # processing clears the flag (louvain.hxx:534)
         vtot_u = float(vtot_s[lo])
         d = comm[u]
         vcout: dict = {}
@@ -208,10 +231,30 @@ def _block_sweep(pdf: pd.DataFrame, rnd: int = 0, gate: int = 1) -> pd.DataFrame
             ctot[d] = ctot.get(d, vtot_u) - vtot_u
             ctot[best_c] = ctot.get(best_c, 0.0) + vtot_u
             comm[u] = best_c
+            # a move flags every neighbor (louvain.hxx:538-539)
+            for i in range(lo, hi):
+                v = int(dst[i])
+                if v != u:
+                    flags[v] = True
         out_id.append(u)
         out_com.append(comm[u])
         out_gain.append(best_e)
-    return pd.DataFrame({"id": out_id, "com": out_com, "gain": out_gain})
+    out_vaff = [bool(flags.get(u, False)) for u in out_id]
+    # out-of-block neighbors flagged by movers: com-null emissions
+    for v, fl in flags.items():
+        if fl and v not in owned:
+            out_id.append(v)
+            out_com.append(None)
+            out_gain.append(0.0)
+            out_vaff.append(True)
+    return pd.DataFrame(
+        {
+            "id": pd.Series(out_id, dtype="int64"),
+            "com": pd.Series(out_com, dtype="Int64"),
+            "gain": pd.Series(out_gain, dtype="float64"),
+            "vaff": pd.Series(out_vaff, dtype="bool"),
+        }
+    )
 
 
 def _local_move_round(
@@ -224,20 +267,35 @@ def _local_move_round(
     num_blocks: int,
     rnd: int = 0,
     gate: int = 1,
+    frontier: DataFrame | None = None,
 ):
-    """One distributed local-move iteration → (new membership, Σ gains,
-    persisted handle).
+    """One distributed local-move iteration → (state, Σ gains).
 
     The cogroup/aggregate formulation of louvainScanCommunitiesW
     (louvain.hxx:405-438): joins materialize (u, neighbor-community,
     weight, snapshot ctot) tuples; the Arrow kernel does the sequential
-    argmax sweep per block.
+    argmax sweep per block, emitting new communities AND next-round
+    affected flags in one pass.
+
+    Returned ``state`` is a single eagerly-checkpointed frame
+    (id, com, vaff, gain) — the whole iteration is ONE Spark job (plus
+    the trivial gain sum over the checkpointed result). This matters:
+    the driver loop runs O(passes × iterations) rounds, so per-round
+    job count, not data size, dominates latency on all but the largest
+    graphs.
     """
     md = membership.select(F.col("id").alias("dst"), F.col("com").alias("dcom"))
     ms = membership.select(F.col("id").alias("src"), F.col("com").alias("scom"))
     vt = vtot.select(F.col("id").alias("src"), F.col("vtot").alias("vtot_s"))
     ctd = ctot.select(F.col("com").alias("dcom"), F.col("ctot").alias("ctot_d"))
     cts = ctot.select(F.col("com").alias("scom"), F.col("ctot").alias("ctot_s"))
+    if frontier is not None:
+        # affected-vertex pruning (vaff, louvain.hxx:534-539): only
+        # flagged vertices are re-scanned; the semi-join prunes their
+        # adjacency before the expensive annotation joins
+        edges = edges.join(
+            frontier.withColumnRenamed("id", "src"), "src", "left_semi"
+        )
     annotated = (
         edges.join(md, "dst")
         .join(ms, "src")
@@ -248,16 +306,31 @@ def _local_move_round(
         .withColumn("res", F.lit(resolution))
         .withColumn("block", F.pmod(F.hash("src"), F.lit(num_blocks)))
     )
+    emitted = annotated.groupBy("block").applyInPandas(
+        lambda _, p: _block_sweep(p, rnd, gate), _MOVE_SCHEMA
+    )
+    # merge kernel emissions: authoritative com from the owning block
+    # (max over exactly one non-null), vaff = any block flagged it
+    agg = emitted.groupBy("id").agg(
+        F.max("com").alias("_nc"),
+        F.sum("gain").alias("_gain"),
+        F.max("vaff").alias("_vaff"),
+    )
     # localCheckpoint truncates the logical plan — without it every
     # iteration's plan embeds all previous iterations and Catalyst
     # planning time grows superlinearly with rounds
-    moved = (
-        annotated.groupBy("block")
-        .applyInPandas(lambda _, p: _block_sweep(p, rnd, gate), _MOVE_SCHEMA)
+    state = (
+        membership.join(agg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("_nc", "com").alias("com"),
+            F.coalesce("_vaff", F.lit(False)).alias("vaff"),
+            F.coalesce("_gain", F.lit(0.0)).alias("gain"),
+        )
         .localCheckpoint(eager=True)
     )
-    el = moved.agg(F.sum("gain").alias("el")).collect()[0]["el"] or 0.0
-    return moved.select("id", "com"), float(el), moved
+    el = state.agg(F.sum("gain").alias("el")).collect()[0]["el"] or 0.0
+    return state, float(el)
 
 
 def _renumber(membership: DataFrame) -> DataFrame:
@@ -360,25 +433,31 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         t0 = time.time()
         vtot = vertex_weights(edges).persist()
         gn = vtot.count()
-        mem = vtot.select("id", F.col("id").alias("com")).persist()
+        mem = vtot.select("id", F.col("id").alias("com")).localCheckpoint(eager=True)
         ctot = vtot.select(F.col("id").alias("com"), F.col("vtot").alias("ctot"))
         iters = 0
-        prev_handle = None
         low_rounds = 0
         el_pass = 0.0
+        frontier: DataFrame | None = None  # None ≙ all marked (static fm)
+        _dbg = os.environ.get("LOUVAIN_DEBUG_TIMING")
         while iters < opts.max_iterations:
-            mem_new, el, handle = _local_move_round(
+            _t_it = time.time()
+            state, el = _local_move_round(
                 edges, mem, vtot, ctot, m_total, opts.resolution, num_blocks,
-                rnd=iters, gate=2,
+                rnd=iters, gate=2, frontier=frontier,
             )
-            mem.unpersist()
-            if prev_handle is not None:
-                prev_handle.unpersist()
-            prev_handle = handle
-            mem = mem_new
+            # state is checkpointed: these are zero-cost projections
+            mem = state.select("id", "com")
+            frontier = state.where("vaff").select("id")
             ctot = vtot.join(mem, "id").groupBy("com").agg(F.sum("vtot").alias("ctot"))
             iters += 1
             el_pass += el
+            if _dbg:
+                print(
+                    f"[louvain] pass={p} it={iters} {time.time() - _t_it:.1f}s "
+                    f"el={el:.5f}",
+                    flush=True,
+                )
             # gated rounds: require two consecutive below-tolerance
             # rounds (each round only half the vertices may move)
             low_rounds = low_rounds + 1 if el <= E else 0

@@ -1,0 +1,98 @@
+"""Structural utilities: graph description, synthetic edge deltas,
+community-connectivity validation.
+
+Covers the remaining reference surface:
+- writeGraph/operator<< pretty-print (Graph.hxx:654-718) → describe()
+- generateEdgeDeletions/Insertions (batch.hxx:100-140) → deterministic
+  hash-based deltas (no rand(): reproducible across runs/executors)
+- communitiesDisconnectedOmp (properties.hxx:378-400) → per-community
+  connectivity via label propagation restricted to intra-community
+  edges
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .components import connected_components
+from .transforms import vertices
+
+
+def describe_graph(edges: DataFrame) -> DataFrame:
+    """One-row frame: order (vertices), size (directed edges), total
+    weight, self-loops — the DataFrame analog of the reference's
+    `order: N size: M {...}` writer."""
+    n = vertices(edges).count()
+    return edges.agg(
+        F.lit(n).alias("order"),
+        F.count("*").alias("size"),
+        F.coalesce(F.sum("w"), F.lit(0.0)).alias("total_weight"),
+        F.coalesce(
+            F.sum(F.when(F.col("src") == F.col("dst"), 1).otherwise(0)), F.lit(0)
+        ).alias("self_loops"),
+    )
+
+
+def generate_edge_deltas(
+    edges: DataFrame, frac_del: float = 0.05, frac_ins: float = 0.05, salt: int = 1
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic synthetic batch update (batch.hxx semantics):
+
+    - deletions: an existing-edge sample (must exist — trivially true),
+      picked by a hash predicate over (src, dst);
+    - insertions: new edges u→v with v = a hash-shifted endpoint,
+      filtered to not already exist (batch.hxx:192-209 tidy rule).
+
+    Both returned as *undirected* deltas (one direction; the applier
+    symmetricizes). Hash-based: same output for same input and salt.
+    """
+    und = edges.where(F.col("src") < F.col("dst"))
+    h = F.pmod(F.hash("src", "dst", F.lit(salt)), F.lit(1_000_000))
+    dels = und.where(h < int(frac_del * 1_000_000)).select("src", "dst")
+    n = vertices(edges).count()
+    ins = (
+        und.where(h >= int((1.0 - frac_ins) * 1_000_000))
+        .select(
+            "src",
+            F.pmod(
+                F.col("dst") + F.pmod(F.hash("dst", F.lit(salt)), F.lit(max(n - 1, 1))) + 1,
+                F.lit(n),
+            ).alias("dst"),
+            F.lit(1.0).alias("w"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .join(edges.select("src", "dst"), ["src", "dst"], "left_anti")
+        .dropDuplicates(["src", "dst"])
+    )
+    return dels, ins
+
+
+def intra_community_components(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Connected components of the graph restricted to intra-community
+    edges: (id, com, comp)."""
+    ms = membership.select(F.col("id").alias("src"), F.col("com").alias("csrc"))
+    md = membership.select(F.col("id").alias("dst"), F.col("com").alias("cdst"))
+    intra = (
+        edges.join(ms, "src")
+        .join(md, "dst")
+        .where(F.col("csrc") == F.col("cdst"))
+        .select("src", "dst", "w")
+    )
+    comps = connected_components(intra).components
+    # vertices with no intra-community edge are their own component
+    allv = membership.select("id", "com")
+    return allv.join(comps, "id", "left").select(
+        "id", "com", F.coalesce("comp", F.col("id")).alias("comp")
+    )
+
+
+def disconnected_communities(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Communities that are internally disconnected (reference quality
+    metric, properties.hxx:378-400): (com, n_parts) with n_parts > 1."""
+    icc = intra_community_components(edges, membership)
+    return (
+        icc.groupBy("com")
+        .agg(F.countDistinct("comp").alias("n_parts"))
+        .where(F.col("n_parts") > 1)
+    )

@@ -1,0 +1,47 @@
+"""Structural utilities: describe, synthetic deltas, community checks."""
+
+from louvain_communities_openmp_spark.oracle import toy5, two_cliques
+from louvain_communities_openmp_spark.oracle.graphs import disconnected
+from louvain_communities_openmp_spark.operators.structure import (
+    describe_graph,
+    disconnected_communities,
+    generate_edge_deltas,
+    intra_community_components,
+)
+from louvain_communities_openmp_spark.operators.transforms import apply_batch
+from louvain_communities_openmp_spark.sources.edges import edges_from_list
+
+
+def test_describe(spark):
+    r = describe_graph(edges_from_list(spark, toy5())).collect()[0]
+    assert (r["order"], r["size"], r["total_weight"], r["self_loops"]) == (5, 12, 12.0, 0)
+
+
+def test_generate_deltas_deterministic_and_tidy(spark):
+    e = edges_from_list(spark, two_cliques()).persist()
+    d1, i1 = generate_edge_deltas(e, 0.3, 0.3, salt=7)
+    d2, i2 = generate_edge_deltas(e, 0.3, 0.3, salt=7)
+    assert sorted(map(tuple, d1.collect())) == sorted(map(tuple, d2.collect()))
+    assert sorted(map(tuple, i1.collect())) == sorted(map(tuple, i2.collect()))
+    # deletions exist in the graph; insertions do not
+    assert d1.join(e.select("src", "dst"), ["src", "dst"], "left_anti").count() == 0
+    assert i1.join(e.select("src", "dst"), ["src", "dst"], "left_semi").count() == 0
+    # applying keeps a valid edge table
+    e2 = apply_batch(e, d1, i1)
+    assert e2.count() == e.count() - d1.count() + i1.count()
+
+
+def test_disconnected_communities(spark):
+    edges, n = disconnected(8, 0)  # two K8s, no bridge
+    e = edges_from_list(spark, edges)
+    # membership that lumps both cliques into one community → disconnected
+    mem = spark.createDataFrame([(i, 0) for i in range(16)], "id long, com long")
+    bad = disconnected_communities(e, mem).collect()
+    assert len(bad) == 1 and bad[0]["com"] == 0 and bad[0]["n_parts"] == 2
+    # correct 2-community membership → none disconnected
+    mem2 = spark.createDataFrame(
+        [(i, 0 if i < 8 else 1) for i in range(16)], "id long, com long"
+    )
+    assert disconnected_communities(e, mem2).count() == 0
+    icc = intra_community_components(e, mem2)
+    assert icc.count() == 16
