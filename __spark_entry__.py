@@ -283,6 +283,47 @@ def _q_disconnected_mod64(spark, sf):
     return disconnected_communities(e, _mod64_membership(e))
 
 
+def _media(spark, sf):
+    """documents.text reinterpreted as opaque binary media — exercises
+    the multimodal plumbing on driver testdata (no image libs here)."""
+    return _docs(spark, sf).select(
+        F.col("doc_id").alias("id"),
+        F.col("text").cast("binary").alias("media"),
+        F.lit("text").alias("media_type"),
+    )
+
+
+def _q_media_meta(spark, sf):
+    from louvain_communities_openmp_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    return extract_media_features(_media(spark, sf)).select(
+        "id", "media_type", "n_bytes", "width", "height", "checksum"
+    )
+
+
+def _q_media_features(spark, sf):
+    from louvain_communities_openmp_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    return extract_media_features(_media(spark, sf))
+
+
+def _q_frame_sample(spark, sf):
+    from louvain_communities_openmp_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    return frame_sample_plan(_media(spark, sf)).select(
+        "id",
+        "frame_no",
+        "offset",
+        F.length("frame").cast("long").alias("frame_bytes"),
+    )
+
+
 def _q_events_hourly(spark, sf):
     ev = spark.read.parquet(f"{sf}/events.parquet")
     return (
@@ -325,6 +366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_embed_neardup": _q_embed_neardup,
         "g_describe": _q_describe,
         "g_disconnected_mod64": _q_disconnected_mod64,
+        "m_media_meta": _q_media_meta,
+        "m_media_features": _q_media_features,
+        "m_frame_sample": _q_frame_sample,
         "ev_hourly": _q_events_hourly,
     }
 
@@ -399,6 +443,60 @@ r{t + 1} AS (
         + ",\n".join(ctes)
         + f"\nSELECT id, round(rank, 7) AS rank FROM r{iters}"
     )
+
+
+def _components_sql(rounds: int = 8) -> str:
+    """Hash-min label propagation unrolled to a fixed round count —
+    identical dynamics to operators.components.connected_components,
+    which iterates to fixpoint (equal whenever the graph converges
+    within `rounds`; the sf0.01 co-order graph converges in <= 4).
+    MATERIALIZED stops DuckDB from exponentially inlining each level.
+    """
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "l0 AS MATERIALIZED (SELECT src AS id, src AS comp FROM edges "
+        "UNION SELECT dst, dst FROM edges)",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""
+l{k + 1} AS MATERIALIZED (
+  SELECT p.id, least(p.comp, coalesce(c.mn, p.comp)) AS comp
+  FROM l{k} p LEFT JOIN (
+    SELECT e.dst AS id, min(q.comp) AS mn
+    FROM edges e JOIN l{k} q ON e.src = q.id GROUP BY e.dst
+  ) c ON p.id = c.id
+)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, comp FROM l{rounds}"
+
+
+def _labelprop_sql(rounds: int = 4) -> str:
+    """Synchronous weighted label propagation, unrolled: per round each
+    vertex takes argmax_label sum(w) over neighbors, tie-break min
+    label — operators.labelprop.label_propagation(max_iter=rounds)."""
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "l0 AS MATERIALIZED (SELECT src AS id, src AS label FROM edges "
+        "UNION SELECT dst, dst FROM edges)",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""
+b{k + 1} AS MATERIALIZED (
+  SELECT id, nl FROM (
+    SELECT e.src AS id, q.label AS nl,
+           row_number() OVER (
+             PARTITION BY e.src
+             ORDER BY sum(e.w) DESC, q.label ASC
+           ) AS rn
+    FROM edges e JOIN l{k} q ON e.dst = q.id
+    WHERE e.src <> e.dst
+    GROUP BY e.src, q.label
+  ) WHERE rn = 1
+),
+l{k + 1} AS MATERIALIZED (
+  SELECT p.id, coalesce(b.nl, p.label) AS label
+  FROM l{k} p LEFT JOIN b{k + 1} b ON p.id = b.id
+)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
 
 
 def _ngram_pairs_sql(k: int = 5, threshold: float = 0.8, max_df: int = 1000) -> str:
@@ -488,6 +586,21 @@ cnt AS (
 )
 SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id = cnt.id""",
         "g_pagerank3": _pagerank3_sql(),
+        "g_components": _components_sql(),
+        "g_labelprop": _labelprop_sql(),
+        "m_media_meta": """
+SELECT doc_id AS id, 'text' AS media_type,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       CAST(1 + CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 4096 AS INT) AS width,
+       CAST(1 + CAST(('0x' || substr(sha256(text), 5, 4)) AS BIGINT) % 4096 AS INT) AS height,
+       substr(sha256(text), 1, 16) AS checksum
+FROM documents""",
+        "m_frame_sample": """
+WITH b AS (SELECT doc_id AS id, octet_length(CAST(text AS BLOB)) AS nb FROM documents),
+n AS (SELECT id, nb, least(8, greatest(1, nb // 1024)) AS nf FROM b)
+SELECT id, CAST(f AS INT) AS frame_no, CAST(f * 1024 AS BIGINT) AS offset,
+       greatest(0, least(1024, nb - f * 1024)) AS frame_bytes
+FROM n, unnest(generate_series(0, nf - 1)) AS t(f)""",
         "g_describe": f"WITH {_EDGES_CTE.strip()},\n"
         """v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)
 SELECT (SELECT count(*) FROM v) AS "order", count(*) AS size,
