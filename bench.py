@@ -122,7 +122,12 @@ def _louvain_pass0_throughput(cpus: int, sf_dir: str) -> dict:
         t0 = time.time()
         res = louvain(
             edges,
-            LouvainOptions(mode="dist", num_blocks=cpus, max_passes=1),
+            # block_vertices small enough that the kernel stage has at
+            # least `cpus` blocks on this graph — the scaling run must
+            # actually expose more parallelism at higher core counts
+            LouvainOptions(
+                mode="dist", num_blocks=cpus, block_vertices=256, max_passes=1
+            ),
         )
         res.membership.count()
         dt = time.time() - t0

@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..oracle.louvain_seq import louvain_seq
+from ..oracle.louvain_seq import louvain_seq_fast
 from ..plans.run import RunDir
 from .properties import modularity as modularity_op
 from .properties import total_weight_m, vertex_weights
@@ -61,8 +61,20 @@ class LouvainOptions:
     aggregation_tolerance: float = 0.8
     mode: str = "auto"  # exact | dist | auto
     num_blocks: int | None = None
-    # auto mode: below this many (directed) edges, finish sequentially
-    small_graph_edges: int = 500_000
+    # target vertices per CSR block — the distributed analog of the
+    # reference's `schedule(dynamic, 2048)` chunk (louvain.hxx:594).
+    # Actual blocks per pass = min(num_blocks, ceil(vertices/this)):
+    # coarsened passes run fewer, larger blocks, whose in-block
+    # asynchrony converges like the sequential reference instead of
+    # oscillating through gated synchronous rounds.
+    block_vertices: int = 2048
+    # auto mode: at or below this many (directed) edges the coarsened
+    # remainder is solved in the driver with the vectorized sequential
+    # kernel (~50 MB of arrays at the default) — the analog of the
+    # reference's representation swap between passes
+    # (louvain.hxx:1174-1176). Pass 0 of any at-scale graph stays
+    # distributed; only the contracted tail collapses inward.
+    small_graph_edges: int = 2_000_000
     run_dir: str | None = None
     resume: bool = False
 
@@ -96,14 +108,16 @@ def _exact_kernel_factory(opts: LouvainOptions):
                 {"id": pd.Series(dtype="int64"), "com": pd.Series(dtype="int64")}
             )
             return
-        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
-        ids = np.unique(np.concatenate([pdf["src"].values, pdf["dst"].values]))
-        pos = {int(v): i for i, v in enumerate(ids)}
-        adj: list = [[] for _ in range(len(ids))]
-        for u, v, w in zip(pdf["src"].values, pdf["dst"].values, pdf["w"].values):
-            adj[pos[int(u)]].append((pos[int(v)], float(w)))
-        r = louvain_seq(
-            adj, resolution=res, tolerance=tol, tolerance_drop=drop,
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        ids = np.unique(np.concatenate([src, dst]))
+        # order-preserving dense remap: identical indexing to the
+        # reference on already-dense inputs
+        r = louvain_seq_fast(
+            np.searchsorted(ids, src),
+            np.searchsorted(ids, dst),
+            pdf["w"].to_numpy(dtype=np.float64),
+            resolution=res, tolerance=tol, tolerance_drop=drop,
             max_iterations=li, max_passes=lp, aggregation_tolerance=at,
         )
         yield pd.DataFrame(
@@ -155,6 +169,20 @@ def _block_sweep(pdf: pd.DataFrame, rnd: int = 0, gate: int = 1) -> pd.DataFrame
 
     Deterministic: ascending-src sweep, tie-break (max ΔQ, min com).
 
+    Fully vectorized (input_hint mandate: no per-row Python in the hot
+    path). Two phases:
+
+    1. *Proposal* (numpy, C speed): per-(u, neighbor-community) weight
+       sums from the round-start snapshot via lexsort + reduceat, ΔQ
+       for every candidate in one vectorized expression, per-u argmax
+       with (max ΔQ, min com) tie-break via lexsort.
+    2. *Validation* (sequential over PROPOSERS only, ascending id —
+       the async sweep of louvainMoveOmpW, louvain.hxx:587-609): each
+       proposer's gain is recomputed exactly against the *current*
+       in-block state (numpy ops on its adjacency slice), so earlier
+       in-block moves are visible — no intra-block flip-flop, and late
+       rounds validate only a vanishing few vertices.
+
     Frontier bookkeeping is fused into the kernel (no extra Spark jobs):
     processing clears a vertex's flag, a move flags all its neighbors —
     in-block AND out-of-block (emitted as com-null rows) — and gated
@@ -163,98 +191,175 @@ def _block_sweep(pdf: pd.DataFrame, rnd: int = 0, gate: int = 1) -> pd.DataFrame
     """
     import numpy as np
 
-    if len(pdf) == 0:
-        return pd.DataFrame(
-            {
-                "id": pd.Series(dtype="int64"),
-                "com": pd.Series(dtype="Int64"),
-                "gain": pd.Series(dtype="float64"),
-                "vaff": pd.Series(dtype="bool"),
-            }
-        )
-    pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
-    src = pdf["src"].values
-    dst = pdf["dst"].values
-    w = pdf["w"].values
-    dcom = pdf["dcom"].values
-    m = float(pdf["m2"].values[0]) / 2.0
-    resolution = float(pdf["res"].values[0])
-
-    comm: dict = {}
-    ctot: dict = {}
-    for v, c, ct in zip(dst, dcom, pdf["ctot_d"].values):
-        comm[int(v)] = int(c)
-        ctot[int(c)] = float(ct)
-    scom = pdf["scom"].values
-    for u, c, ct in zip(src, scom, pdf["ctot_s"].values):
-        comm[int(u)] = int(c)
-        ctot[int(c)] = float(ct)
-
-    bounds = np.flatnonzero(np.r_[True, src[1:] != src[:-1], True])
-    vtot_s = pdf["vtot_s"].values
-    flags: dict = {}  # explicit flag updates this round (vaff)
-    out_id, out_com, out_gain = [], [], []
-    owned: set = set()
-    for k in range(len(bounds) - 1):
-        lo, hi = int(bounds[k]), int(bounds[k + 1])
-        u = int(src[lo])
-        owned.add(u)
-        if gate > 1 and _mix64(u * 1_000_003 + rnd) % gate != 0:
-            # gated out: stays marked for a later round
-            flags.setdefault(u, True)
-            out_id.append(u)
-            out_com.append(comm[u])
-            out_gain.append(0.0)
-            continue
-        flags[u] = False  # processing clears the flag (louvain.hxx:534)
-        vtot_u = float(vtot_s[lo])
-        d = comm[u]
-        vcout: dict = {}
-        for i in range(lo, hi):
-            v = int(dst[i])
-            if v == u:
-                continue  # SELF=false scan (louvain.hxx:407)
-            c = comm[v]
-            vcout[c] = vcout.get(c, 0.0) + float(w[i])
-        kud = vcout.get(d, 0.0)
-        ctot_d_ = ctot.get(d, vtot_u)
-        best_c, best_e = -1, 0.0
-        for c, kuc in vcout.items():
-            if c == d:
-                continue
-            e = (kuc - kud) / m - resolution * vtot_u * (
-                vtot_u + ctot.get(c, 0.0) - ctot_d_
-            ) / (2.0 * m * m)
-            if e > best_e or (e == best_e and e > 0.0 and c < best_c):
-                best_e, best_c = e, c
-        if best_e > 0.0:
-            ctot[d] = ctot.get(d, vtot_u) - vtot_u
-            ctot[best_c] = ctot.get(best_c, 0.0) + vtot_u
-            comm[u] = best_c
-            # a move flags every neighbor (louvain.hxx:538-539)
-            for i in range(lo, hi):
-                v = int(dst[i])
-                if v != u:
-                    flags[v] = True
-        out_id.append(u)
-        out_com.append(comm[u])
-        out_gain.append(best_e)
-    out_vaff = [bool(flags.get(u, False)) for u in out_id]
-    # out-of-block neighbors flagged by movers: com-null emissions
-    for v, fl in flags.items():
-        if fl and v not in owned:
-            out_id.append(v)
-            out_com.append(None)
-            out_gain.append(0.0)
-            out_vaff.append(True)
-    return pd.DataFrame(
+    empty = pd.DataFrame(
         {
-            "id": pd.Series(out_id, dtype="int64"),
-            "com": pd.Series(out_com, dtype="Int64"),
-            "gain": pd.Series(out_gain, dtype="float64"),
-            "vaff": pd.Series(out_vaff, dtype="bool"),
+            "id": pd.Series(dtype="int64"),
+            "com": pd.Series(dtype="Int64"),
+            "gain": pd.Series(dtype="float64"),
+            "vaff": pd.Series(dtype="bool"),
         }
     )
+    if len(pdf) == 0:
+        return empty
+    pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    w = pdf["w"].to_numpy(dtype=np.float64)
+    m = float(pdf["m2"].iloc[0]) / 2.0
+    resolution = float(pdf["res"].iloc[0])
+
+    # ---- local dense remap of vertex ids and community ids
+    ids = np.unique(np.concatenate([src, dst]))
+    ls = np.searchsorted(ids, src)
+    ld = np.searchsorted(ids, dst)
+    nloc = len(ids)
+    dcom_g = pdf["dcom"].to_numpy(dtype=np.int64)
+    scom_g = pdf["scom"].to_numpy(dtype=np.int64)
+    cids = np.unique(np.concatenate([dcom_g, scom_g]))
+    lc_d = np.searchsorted(cids, dcom_g)
+    lc_s = np.searchsorted(cids, scom_g)
+    ncom = len(cids)
+    comm = np.full(nloc, -1, dtype=np.int64)  # local vertex → local com
+    comm[ld] = lc_d
+    comm[ls] = lc_s
+    ctot = np.zeros(ncom, dtype=np.float64)
+    ctot[lc_d] = pdf["ctot_d"].to_numpy(dtype=np.float64)
+    ctot[lc_s] = pdf["ctot_s"].to_numpy(dtype=np.float64)
+    vtot = np.zeros(nloc, dtype=np.float64)
+    vtot[ls] = pdf["vtot_s"].to_numpy(dtype=np.float64)
+
+    run_starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+    run_ends = np.r_[run_starts[1:], len(src)]
+    owned_l = ls[run_starts]  # local ids of block-owned vertices
+    # adjacency slice lookup for owned vertices
+    adj_lo = np.zeros(nloc, dtype=np.int64)
+    adj_hi = np.zeros(nloc, dtype=np.int64)
+    adj_lo[owned_l] = run_starts
+    adj_hi[owned_l] = run_ends
+
+    if gate > 1:
+        g = (ids[owned_l] * 1_000_003 + rnd) % (1 << 63)
+        gmask = np.array(
+            [_mix64(int(x)) % gate == 0 for x in g], dtype=bool
+        )
+    else:
+        gmask = np.ones(len(owned_l), dtype=bool)
+    active_l = owned_l[gmask]  # processed this round
+    gated_l = owned_l[~gmask]
+
+    # ---- phase 1: vectorized proposals from the round-start snapshot
+    nonself = ls != ld  # SELF=false scan (louvain.hxx:407)
+    active_mask_edge = np.isin(ls, active_l) & nonself
+    es, ec, ew = ls[active_mask_edge], comm[ld[active_mask_edge]], w[active_mask_edge]
+    # sum weights per (u, c): lexsort then reduceat over group bounds
+    if len(es):
+        key = es * ncom + ec
+        order = np.argsort(key, kind="stable")
+        key_s, ew_s = key[order], ew[order]
+        grp = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+        kuc = np.add.reduceat(ew_s, grp)
+        gu = (key_s[grp] // ncom).astype(np.int64)  # u per group
+        gc = (key_s[grp] % ncom).astype(np.int64)  # candidate c per group
+    else:
+        kuc = np.empty(0, dtype=np.float64)
+        gu = gc = np.empty(0, dtype=np.int64)
+    # k_{u,d}: weight to own community (0 where u has no such group)
+    kud = np.zeros(nloc, dtype=np.float64)
+    own = gc == comm[gu]
+    kud[gu[own]] = kuc[own]
+    cand = ~own
+    cu, cc, ckuc = gu[cand], gc[cand], kuc[cand]
+    dq = (ckuc - kud[cu]) / m - resolution * vtot[cu] * (
+        vtot[cu] + ctot[cc] - ctot[comm[cu]]
+    ) / (2.0 * m * m)
+    pos = dq > 0.0
+    cu, cc, dq = cu[pos], cc[pos], dq[pos]
+    # per-u argmax, tie-break min c: sort by (u, -dq, c), keep first
+    if len(cu):
+        o2 = np.lexsort((cc, -dq, cu))
+        cu, cc, dq = cu[o2], cc[o2], dq[o2]
+        first = np.flatnonzero(np.r_[True, cu[1:] != cu[:-1]])
+        prop_u, prop_c = cu[first], cc[first]
+    else:
+        prop_u = prop_c = np.empty(0, dtype=np.int64)
+
+    # ---- phase 2: sequential validation over proposers (ascending id)
+    gain_by_u = np.zeros(nloc, dtype=np.float64)
+    vaff = np.zeros(nloc, dtype=bool)
+    vaff[gated_l] = True  # gated: still marked (unprocessed)
+    any_moved = False
+    for u, c0 in zip(prop_u, prop_c):
+        lo, hi = adj_lo[u], adj_hi[u]
+        nb = ld[lo:hi]
+        nw = w[lo:hi]
+        sl = nb != u
+        nb, nw = nb[sl], nw[sl]
+        ncs = comm[nb]  # CURRENT neighbor communities (async)
+        d = comm[u]
+        kud_c = nw[ncs == d].sum()
+        # re-argmax over current neighbor communities (cheap: one
+        # degree-sized pass), matching the reference's fresh scan
+        uc = np.unique(ncs)
+        uc = uc[uc != d]
+        if len(uc) == 0:
+            continue
+        kuc_c = np.array([nw[ncs == c].sum() for c in uc]) if len(uc) <= 8 else None
+        if kuc_c is None:
+            o3 = np.argsort(ncs, kind="stable")
+            ncs_s, nw_s = ncs[o3], nw[o3]
+            b3 = np.flatnonzero(np.r_[True, ncs_s[1:] != ncs_s[:-1]])
+            sums = np.add.reduceat(nw_s, b3)
+            cs3 = ncs_s[b3]
+            keep = cs3 != d
+            uc, kuc_c = cs3[keep], sums[keep]
+        e = (kuc_c - kud_c) / m - resolution * vtot[u] * (
+            vtot[u] + ctot[uc] - ctot[d]
+        ) / (2.0 * m * m)
+        bi = np.lexsort((uc, -e))[0]
+        if e[bi] <= 0.0:
+            continue
+        best_c, best_e = int(uc[bi]), float(e[bi])
+        ctot[d] -= vtot[u]
+        ctot[best_c] += vtot[u]
+        comm[u] = best_c
+        gain_by_u[u] = best_e
+        vaff[nb] = True  # a move flags every neighbor (louvain.hxx:538)
+        vaff[u] = False
+        any_moved = True
+
+    # processed vertices cleared unless re-flagged by a later mover
+    # (vaff starts False for them); assemble emissions
+    out_l = owned_l
+    out_id = ids[out_l]
+    out_com = cids[comm[out_l]]
+    out_gain = gain_by_u[out_l]
+    out_vaff = vaff[out_l]
+    frames = [
+        pd.DataFrame(
+            {
+                "id": pd.Series(out_id, dtype="int64"),
+                "com": pd.Series(out_com, dtype="Int64"),
+                "gain": pd.Series(out_gain, dtype="float64"),
+                "vaff": pd.Series(out_vaff, dtype="bool"),
+            }
+        )
+    ]
+    if any_moved:
+        ext = vaff.copy()
+        ext[owned_l] = False  # non-owned flagged vertices only
+        ext_l = np.flatnonzero(ext)
+        if len(ext_l):
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "id": pd.Series(ids[ext_l], dtype="int64"),
+                        "com": pd.Series([None] * len(ext_l), dtype="Int64"),
+                        "gain": pd.Series(np.zeros(len(ext_l)), dtype="float64"),
+                        "vaff": pd.Series(np.ones(len(ext_l), dtype=bool)),
+                    }
+                )
+            )
+    return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
 
 def _local_move_round(
@@ -415,19 +520,42 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
     while p < opts.max_passes:
         E = opts.tolerance / (opts.tolerance_drop ** p)
         n_edges = edges.count()
-        # ---- auto fast path: finish sequentially on the small remainder
+        # ---- auto fast path: solve the coarsened remainder in the
+        # driver with the vectorized sequential kernel (reference
+        # semantics; no per-iteration Spark round-trips)
         if opts.mode == "auto" and n_edges <= opts.small_graph_edges:
-            sub = LouvainOptions(
+            import numpy as np
+
+            t0 = time.time()
+            pdf = edges.select("src", "dst", "w").toPandas()
+            src_a = pdf["src"].to_numpy(dtype=np.int64)
+            dst_a = pdf["dst"].to_numpy(dtype=np.int64)
+            ids = np.unique(np.concatenate([src_a, dst_a]))
+            r = louvain_seq_fast(
+                np.searchsorted(ids, src_a),
+                np.searchsorted(ids, dst_a),
+                pdf["w"].to_numpy(dtype=np.float64),
                 resolution=opts.resolution, tolerance=E,
                 tolerance_drop=opts.tolerance_drop,
                 max_iterations=opts.max_iterations,
                 max_passes=opts.max_passes - p,
                 aggregation_tolerance=opts.aggregation_tolerance,
             )
-            mem = louvain_exact(edges, sub).persist()
+            mem = spark.createDataFrame(
+                pd.DataFrame(
+                    {"id": ids.astype("int64"),
+                     "com": np.asarray(r.membership, dtype="int64")}
+                ),
+                MEMBERSHIP_SCHEMA,
+            )
             final_mem = _compose(ucom, mem).persist()
-            pass_log.append({"pass": p, "mode": "exact_finish", "edges": n_edges})
-            p += 1
+            total_iters += r.iterations
+            pass_log.append({
+                "pass": p, "mode": "local_finish", "edges": n_edges,
+                "local_passes": r.passes,
+                "t_local": round(time.time() - t0, 3),
+            })
+            p += r.passes
             break
 
         t0 = time.time()
@@ -437,14 +565,20 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         ctot = vtot.select(F.col("id").alias("com"), F.col("vtot").alias("ctot"))
         iters = 0
         low_rounds = 0
+        stall_rounds = 0
+        prev_el = float("inf")
         el_pass = 0.0
         frontier: DataFrame | None = None  # None ≙ all marked (static fm)
         _dbg = os.environ.get("LOUVAIN_DEBUG_TIMING")
+        # blocks sized by vertex count (reference chunk geometry);
+        # a single block with gate=1 IS the sequential reference sweep
+        blocks_pass = max(1, min(num_blocks, gn // opts.block_vertices or 1))
+        gate = 1 if blocks_pass == 1 else 2
         while iters < opts.max_iterations:
             _t_it = time.time()
             state, el = _local_move_round(
-                edges, mem, vtot, ctot, m_total, opts.resolution, num_blocks,
-                rnd=iters, gate=2, frontier=frontier,
+                edges, mem, vtot, ctot, m_total, opts.resolution, blocks_pass,
+                rnd=iters, gate=gate, frontier=frontier,
             )
             # state is checkpointed: these are zero-cost projections
             mem = state.select("id", "com")
@@ -453,15 +587,26 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             iters += 1
             el_pass += el
             if _dbg:
+                nf = state.where("vaff").count()
                 print(
                     f"[louvain] pass={p} it={iters} {time.time() - _t_it:.1f}s "
-                    f"el={el:.5f}",
+                    f"el={el:.5f} frontier={nf}",
                     flush=True,
                 )
             # gated rounds: require two consecutive below-tolerance
-            # rounds (each round only half the vertices may move)
+            # rounds (each round only half the vertices may move);
+            # single-block sweeps use the reference's single check
+            # (louvain.hxx:541)
             low_rounds = low_rounds + 1 if el <= E else 0
-            if low_rounds >= 2 or el == 0.0:
+            if low_rounds >= (1 if gate == 1 else 2) or el == 0.0:
+                break
+            # plateau break: gated synchronous rounds bottom out at a
+            # flip-flop noise floor above tiny tolerances — once el
+            # stops decreasing (<5% improvement twice in a row), more
+            # rounds only burn time without modularity progress
+            stall_rounds = stall_rounds + 1 if el > 0.95 * prev_el else 0
+            prev_el = el
+            if iters >= 3 and stall_rounds >= 2:
                 break
         t_move = time.time() - t0
         total_iters += iters

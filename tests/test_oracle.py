@@ -134,3 +134,34 @@ def test_power_law_deterministic_and_skewed():
     assert mx > 10 * mean  # hubs exist
     res = louvain_seq(adjacency(e1))
     assert res.modularity > 0.1
+
+
+def test_fast_oracle_parity():
+    """louvain_seq_fast must be bit-identical to the faithful port on
+    every fixture (membership AND modularity)."""
+    from louvain_communities_openmp_spark.oracle.graphs import (
+        disconnected,
+        power_law,
+        toy5_selfloops,
+        toy5_weighted,
+    )
+    from louvain_communities_openmp_spark.oracle.louvain_seq import louvain_seq_fast
+
+    fixtures = {
+        "toy5": toy5(),
+        "toy5_selfloops": toy5_selfloops(),
+        "toy5_weighted": toy5_weighted(),
+        "two_cliques": two_cliques(),
+        "karate": karate(),
+        "ring16x8": ring_of_cliques(16, 8),
+        "power_law400": power_law(400, 3),
+        "disc8": disconnected(8, 0)[0],
+    }
+    for name, el in fixtures.items():
+        slow = louvain_seq(adjacency(el))
+        fast = louvain_seq_fast(
+            [e[0] for e in el], [e[1] for e in el], [e[2] for e in el]
+        )
+        assert fast.membership == slow.membership, name
+        assert abs(fast.modularity - slow.modularity) < 1e-12, name
+        assert (fast.passes, fast.iterations) == (slow.passes, slow.iterations), name
