@@ -1,15 +1,21 @@
-"""Triangle counting via edge-edge join on ordered ids.
+"""Triangle counting via degree-ordered edge orientation.
 
 Exact-match target vs oracle.simple.triangle_count_seq. Counted on the
-simple undirected graph (self-loops dropped, duplicates collapsed):
-canonicalize to src<dst, join e1(a,b)⋈e2(b,c) with a<b<c, close the
-wedge against the canonical edge set. Each triangle {a<b<c} found once;
-per-vertex credit via explode of the three corners.
+simple undirected graph (self-loops dropped, duplicates collapsed).
 
-Scale notes: the wedge join keys on the *middle* vertex b — a hub b
-creates deg² wedges; AQE skew-join splitting handles the join-side
-skew, and the canonical orientation (a<b<c) cuts the wedge count
-roughly in half vs naive.
+Algorithm (the skew-robust standard): orient every undirected edge from
+its lower-(degree, id) endpoint to its higher one. Wedges are pairs of
+out-neighbors (self-join of the oriented table on the pivot), closed by
+a third oriented edge between the two out-neighbors. Each triangle is
+found exactly once, and the wedge count is Σ outdeg² with
+outdeg = O(√E) by the orientation bound — on power-law graphs this
+beats the id-ordered join by the hub-degree² factor (the reference's
+`schedule(dynamic,2048)` load-balancing concern, louvain.hxx:594,
+transplanted to the join plan).
+
+Scale notes: the self-join keys on the pivot vertex; AQE skew-join
+splitting handles residual skew. Both joins are shuffle hash joins on
+(long, long) keys; no Python.
 """
 
 from __future__ import annotations
@@ -36,22 +42,53 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count_total(edges: DataFrame) -> int:
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Undirected edges oriented low-rank → high-rank, rank = (deg, id).
+    Output: (u, v, dv_deg, v_id) with rank(u) < rank(v)."""
     c = _canonical(edges)
-    e1 = c.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = c.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = c.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    return e1.join(e2, "b").join(e3, ["a", "c"]).count()
+    deg = (
+        c.select(F.col("src").alias("id"))
+        .unionAll(c.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    ds = deg.select(F.col("id").alias("src"), F.col("deg").alias("sdeg"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg"))
+    ann = c.join(ds, "src").join(dd, "dst")
+    fwd = F.struct("sdeg", "src") < F.struct("ddeg", "dst")
+    return ann.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(fwd, F.col("ddeg")).otherwise(F.col("sdeg")).alias("vdeg"),
+    )
+
+
+def _triangles(o: DataFrame) -> DataFrame:
+    """One row per triangle: (u, a, b) with rank(u) < rank(a) < rank(b).
+    ``o`` is the oriented table — persist it: the plan references it
+    three times (two wedge sides + closure)."""
+    o1 = o.select("u", F.col("v").alias("a"), F.col("vdeg").alias("adeg"))
+    o2 = o.select("u", F.col("v").alias("b"), F.col("vdeg").alias("bdeg"))
+    wedges = o1.join(o2, "u").where(
+        F.struct("adeg", "a") < F.struct("bdeg", "b")
+    )
+    closure = o.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    return wedges.join(closure, ["a", "b"]).select("u", "a", "b")
+
+
+def triangle_count_total(edges: DataFrame) -> int:
+    o = _oriented(edges).persist()
+    try:
+        return _triangles(o).count()
+    finally:
+        o.unpersist()
 
 
 def triangle_count(edges: DataFrame) -> TriangleResult:
-    c = _canonical(edges).persist()
-    e1 = c.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = c.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = c.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    o = _oriented(edges).persist()
+    tris = _triangles(o).persist()
     per = (
-        tris.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        tris.select(F.explode(F.array("u", "a", "b")).alias("id"))
         .groupBy("id")
         .agg(F.count("*").alias("triangles"))
     )
@@ -59,5 +96,5 @@ def triangle_count(edges: DataFrame) -> TriangleResult:
         "id", F.coalesce("triangles", F.lit(0)).alias("triangles")
     )
     total = tris.count()
-    c.unpersist()
+    o.unpersist()
     return TriangleResult(all_verts, total)
