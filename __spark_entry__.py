@@ -334,6 +334,63 @@ def _q_events_hourly(spark, sf):
     )
 
 
+def _q_events_sessions(spark, sf):
+    """Per-user session windows (30-min gap): Structured-Streaming
+    session_window applied in batch mode."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "last_ts",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def _q_bfs_hops(spark, sf):
+    """Hop distances from the minimum-id vertex (bfs.hxx analog)."""
+    from louvain_communities_openmp_spark.operators.bfs import bfs
+    from louvain_communities_openmp_spark.operators.transforms import vertices
+
+    e = coorder_edges(spark, sf).persist()
+    src = vertices(e).agg(F.min("id").alias("id"))
+    return bfs(e, src).distances
+
+
+def _q_transpose_degrees(spark, sf):
+    from louvain_communities_openmp_spark.operators.transforms import (
+        transpose_with_degree,
+    )
+
+    return transpose_with_degree(coorder_edges(spark, sf))
+
+
+def _q_lsh_topk(spark, sf):
+    """Approximate cosine top-k via random-hyperplane LSH buckets
+    (rows-only check: approximation is not SQL-reproducible)."""
+    from louvain_communities_openmp_spark.operators.similarity import cosine_topk_lsh
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(10)
+    return cosine_topk_lsh(emb, queries, k=10)
+
+
+def _q_minhash_lsh_pairs(spark, sf):
+    """MinHash-LSH candidate near-dup pairs (rows-only: banding is an
+    approximation of the verified d_ngram_pairs oracle)."""
+    from louvain_communities_openmp_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf), k=5, num_hashes=8, bands=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g_edges": _q_edges,
@@ -366,10 +423,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_embed_neardup": _q_embed_neardup,
         "g_describe": _q_describe,
         "g_disconnected_mod64": _q_disconnected_mod64,
+        "g_bfs_hops": _q_bfs_hops,
+        "g_transpose_degrees": _q_transpose_degrees,
+        "e_lsh_topk": _q_lsh_topk,
+        "d_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "m_media_meta": _q_media_meta,
         "m_media_features": _q_media_features,
         "m_frame_sample": _q_frame_sample,
         "ev_hourly": _q_events_hourly,
+        "ev_sessions": _q_events_sessions,
     }
 
 
@@ -499,6 +561,46 @@ l{k + 1} AS MATERIALIZED (
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
 
 
+def _bfs_sql(rounds: int = 8) -> str:
+    """Min-plus relaxation unrolled to a fixed round count — equal to
+    operators.bfs.bfs (fixpoint) whenever the source's eccentricity is
+    <= rounds (true for the sf0.01 co-order graph)."""
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "d0 AS MATERIALIZED (SELECT min(id) AS id, CAST(0 AS BIGINT) AS dist FROM v)",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""
+d{k + 1} AS MATERIALIZED (
+  SELECT id, min(dist) AS dist FROM (
+    SELECT id, dist FROM d{k}
+    UNION ALL
+    SELECT e.dst AS id, p.dist + 1 AS dist FROM edges e JOIN d{k} p ON e.src = p.id
+  ) GROUP BY id
+)""")
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, dist FROM d{rounds}"
+
+
+_SESSIONS_SQL = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+       count(*) AS n_events, round(sum(value), 6) AS value_sum
+FROM g GROUP BY user_id, sid"""
+
+
 def _ngram_pairs_sql(k: int = 5, threshold: float = 0.8, max_df: int = 1000) -> str:
     return f"""
 WITH t AS (
@@ -588,6 +690,13 @@ SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id 
         "g_pagerank3": _pagerank3_sql(),
         "g_components": _components_sql(),
         "g_labelprop": _labelprop_sql(),
+        "g_bfs_hops": _bfs_sql(),
+        "g_transpose_degrees": f"WITH {_EDGES_CTE.strip()},\n"
+        """deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+SELECT e.dst AS src, e.src AS dst, e.w,
+       coalesce(d.deg, 0) AS src_outdeg
+FROM edges e LEFT JOIN deg d ON d.src = e.src""",
+        "ev_sessions": _SESSIONS_SQL,
         "m_media_meta": """
 SELECT doc_id AS id, 'text' AS media_type,
        octet_length(CAST(text AS BLOB)) AS n_bytes,

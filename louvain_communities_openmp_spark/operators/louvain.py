@@ -75,6 +75,11 @@ class LouvainOptions:
     # (louvain.hxx:1174-1176). Pass 0 of any at-scale graph stays
     # distributed; only the contracted tail collapses inward.
     small_graph_edges: int = 2_000_000
+    # broadcast membership/vtot/ctot into the annotation joins while
+    # the vertex count is at most this (~20 bytes/row ⇒ ≲100 MB
+    # broadcast); larger graphs fall back to co-partitioned shuffle
+    # joins. Coarsened passes always qualify.
+    broadcast_vertices: int = 5_000_000
     run_dir: str | None = None
     resume: bool = False
 
@@ -150,7 +155,13 @@ def _mix64(x: int) -> int:
     return x ^ (x >> 31)
 
 
-def _block_sweep(pdf: pd.DataFrame, rnd: int = 0, gate: int = 1) -> pd.DataFrame:
+def _block_sweep(
+    pdf: pd.DataFrame,
+    rnd: int = 0,
+    gate: int = 1,
+    m: float = 1.0,
+    resolution: float = 1.0,
+) -> pd.DataFrame:
     """Asynchronous local-move sweep within one block (≙ one OpenMP
     thread chunk, louvain.hxx:594-605).
 
@@ -201,12 +212,14 @@ def _block_sweep(pdf: pd.DataFrame, rnd: int = 0, gate: int = 1) -> pd.DataFrame
     )
     if len(pdf) == 0:
         return empty
-    pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
     src = pdf["src"].to_numpy(dtype=np.int64)
+    # the caller pre-sorts each block by (src, dst) once per pass; only
+    # group srcs contiguously if that invariant ever breaks
+    if len(src) > 1 and not bool(np.all(src[1:] >= src[:-1])):
+        pdf = pdf.sort_values(["src", "dst"], kind="mergesort")
+        src = pdf["src"].to_numpy(dtype=np.int64)
     dst = pdf["dst"].to_numpy(dtype=np.int64)
     w = pdf["w"].to_numpy(dtype=np.float64)
-    m = float(pdf["m2"].iloc[0]) / 2.0
-    resolution = float(pdf["res"].iloc[0])
 
     # ---- local dense remap of vertex ids and community ids
     ids = np.unique(np.concatenate([src, dst]))
@@ -369,10 +382,11 @@ def _local_move_round(
     ctot: DataFrame,
     m: float,
     resolution: float,
-    num_blocks: int,
     rnd: int = 0,
     gate: int = 1,
     frontier: DataFrame | None = None,
+    broadcast: bool = True,
+    num_blocks: int = 32,
 ):
     """One distributed local-move iteration → (state, Σ gains).
 
@@ -382,6 +396,16 @@ def _local_move_round(
     argmax sweep per block, emitting new communities AND next-round
     affected flags in one pass.
 
+    ``edges`` must carry a ``block`` column and be hash-partitioned on
+    it (the caller does this once per pass). With ``broadcast=True``
+    (membership/vtot/ctot fit in executor memory — always true after a
+    pass or two of coarsening, and up to tens of millions of vertices
+    before) every annotation join is a broadcast hash join, the edge
+    table never shuffles, and the groupBy(block) reuses the existing
+    partitioning: the whole iteration moves only the per-vertex
+    emissions. Above the threshold the same plan degrades to
+    co-partitioned shuffle joins.
+
     Returned ``state`` is a single eagerly-checkpointed frame
     (id, com, vaff, gain) — the whole iteration is ONE Spark job (plus
     the trivial gain sum over the checkpointed result). This matters:
@@ -389,17 +413,18 @@ def _local_move_round(
     job count, not data size, dominates latency on all but the largest
     graphs.
     """
-    md = membership.select(F.col("id").alias("dst"), F.col("com").alias("dcom"))
-    ms = membership.select(F.col("id").alias("src"), F.col("com").alias("scom"))
-    vt = vtot.select(F.col("id").alias("src"), F.col("vtot").alias("vtot_s"))
-    ctd = ctot.select(F.col("com").alias("dcom"), F.col("ctot").alias("ctot_d"))
-    cts = ctot.select(F.col("com").alias("scom"), F.col("ctot").alias("ctot_s"))
+    bc = F.broadcast if broadcast else (lambda df: df)
+    md = bc(membership.select(F.col("id").alias("dst"), F.col("com").alias("dcom")))
+    ms = bc(membership.select(F.col("id").alias("src"), F.col("com").alias("scom")))
+    vt = bc(vtot.select(F.col("id").alias("src"), F.col("vtot").alias("vtot_s")))
+    ctd = bc(ctot.select(F.col("com").alias("dcom"), F.col("ctot").alias("ctot_d")))
+    cts = bc(ctot.select(F.col("com").alias("scom"), F.col("ctot").alias("ctot_s")))
     if frontier is not None:
         # affected-vertex pruning (vaff, louvain.hxx:534-539): only
         # flagged vertices are re-scanned; the semi-join prunes their
         # adjacency before the expensive annotation joins
         edges = edges.join(
-            frontier.withColumnRenamed("id", "src"), "src", "left_semi"
+            bc(frontier.withColumnRenamed("id", "src")), "src", "left_semi"
         )
     annotated = (
         edges.join(md, "dst")
@@ -407,13 +432,47 @@ def _local_move_round(
         .join(vt, "src")
         .join(ctd, "dcom")
         .join(cts, "scom")
-        .withColumn("m2", F.lit(2.0 * m))
-        .withColumn("res", F.lit(resolution))
-        .withColumn("block", F.pmod(F.hash("src"), F.lit(num_blocks)))
     )
-    emitted = annotated.groupBy("block").applyInPandas(
-        lambda _, p: _block_sweep(p, rnd, gate), _MOVE_SCHEMA
-    )
+
+    if broadcast:
+        # broadcast joins preserve the edge table's partitioning AND
+        # row order, so every src's full adjacency is contiguous in
+        # its partition: mapInPandas with no group-by exchange, no
+        # per-iteration sort; constants travel in the closure instead
+        # of per-edge columns
+        def run_block(batches):
+            import numpy as np
+
+            chunks = list(batches)
+            if not chunks:
+                return
+            if len(chunks) == 1:
+                pdf = chunks[0]
+            else:
+                # column-wise numpy concatenate: pd.concat of many
+                # Arrow-backed chunks is ~50× slower than the memcpy
+                pdf = pd.DataFrame(
+                    {
+                        c: np.concatenate([ch[c].to_numpy() for ch in chunks])
+                        for c in chunks[0].columns
+                    }
+                )
+            yield _block_sweep(pdf, rnd, gate, m, resolution)
+
+        emitted = annotated.mapInPandas(run_block, _MOVE_SCHEMA)
+    else:
+        # shuffle-join path (vertex state too large to broadcast):
+        # joins break the block alignment, so re-group explicitly
+        emitted = (
+            annotated.withColumn(
+                "block", F.pmod(F.hash("src"), F.lit(num_blocks))
+            )
+            .groupBy("block")
+            .applyInPandas(
+                lambda _, p: _block_sweep(p, rnd, gate, m, resolution),
+                _MOVE_SCHEMA,
+            )
+        )
     # merge kernel emissions: authoritative com from the owning block
     # (max over exactly one non-null), vaff = any block flagged it
     agg = emitted.groupBy("id").agg(
@@ -574,11 +633,26 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         # a single block with gate=1 IS the sequential reference sweep
         blocks_pass = max(1, min(num_blocks, gn // opts.block_vertices or 1))
         gate = 1 if blocks_pass == 1 else 2
+        broadcast = gn <= opts.broadcast_vertices
+        # partition + sort the edge table by kernel block ONCE per
+        # pass (the analog of the reference's per-pass CSR rebuild,
+        # louvain.hxx:1174-1176): with broadcast state joins, no
+        # iteration ever shuffles or re-sorts it again
+        # hash srcs straight into partitions (one extra pmod layer
+        # would funnel 32 block values through murmur3 and leave ~⅓ of
+        # partitions empty — balls-in-bins)
+        edges_b = (
+            edges.repartition(blocks_pass, "src")
+            .sortWithinPartitions("src", "dst")
+            .persist()
+        )
+        edges_b.count()
         while iters < opts.max_iterations:
             _t_it = time.time()
             state, el = _local_move_round(
-                edges, mem, vtot, ctot, m_total, opts.resolution, blocks_pass,
-                rnd=iters, gate=gate, frontier=frontier,
+                edges_b, mem, vtot, ctot, m_total, opts.resolution,
+                rnd=iters, gate=gate, frontier=frontier, broadcast=broadcast,
+                num_blocks=blocks_pass,
             )
             # state is checkpointed: these are zero-cost projections
             mem = state.select("id", "com")
@@ -608,6 +682,7 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             prev_el = el
             if iters >= 3 and stall_rounds >= 2:
                 break
+        edges_b.unpersist()
         t_move = time.time() - t0
         total_iters += iters
         rec = {"pass": p, "iterations": iters, "edges": n_edges,

@@ -100,6 +100,44 @@ def edges_from_pages(
     return e, ids
 
 
+def synthetic_powerlaw_edges(
+    spark: SparkSession,
+    n_vertices: int,
+    n_edges: int,
+    skew: float = 2.0,
+    seed: int = 7,
+) -> DataFrame:
+    """Deterministic hub-skewed symmetric graph, generated distributed.
+
+    No rand(): every edge is a pure hash of its index, so the graph is
+    identical across runs, partitionings, and parallelism levels — the
+    property the scaling benchmark needs (same input at local[8] and
+    local[32]). dst ~ floor(u^skew · N) concentrates edges on low ids
+    (power-law-ish hubs), exercising the skew paths the north rule
+    calls out.
+    """
+    u = (
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(1_000_000))
+        / 1_000_000.0
+    )
+    raw = spark.range(n_edges).select(
+        F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(n_vertices)).alias(
+            "src"
+        ),
+        F.least(
+            F.lit(n_vertices - 1),
+            F.floor(F.pow(u, F.lit(skew)) * n_vertices).cast("long"),
+        ).alias("dst"),
+    )
+    e = (
+        raw.where(F.col("src") != F.col("dst"))
+        .withColumn("w", F.lit(1.0))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    return symmetricize(e, agg="max")
+
+
 # ---------------------------------------------------------------------------
 # Testdata-derived graph (driver correctness gate): co-order part graph.
 # Two parts are connected iff they appear in the same order; edge weight =
