@@ -106,7 +106,7 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     return times, extras
 
 
-def _louvain_pass0_throughput(cpus: int, sf_dir: str) -> dict:
+def _louvain_pass0_throughput(cpus: int, sf_dir: str) -> dict:  # noqa: ARG001
     """One dist-mode Louvain pass-0 on local[cpus] → edges/sec.
 
     Fresh SparkSession per parallelism level; same input, same plan.
@@ -212,6 +212,7 @@ def main():
         print("SCALING_RESULT " + json.dumps(_louvain_pass0_throughput(int(level), sf_dir)))
         return
 
+
     from louvain_communities_openmp_spark.session import get_spark
 
     spark = get_spark(
@@ -232,11 +233,17 @@ def main():
         import subprocess
 
         n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        base_edges = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", "6000000"))
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
 
-        def level_run(c: int) -> dict:
+        def level_run(c: int, gen_edges: int) -> dict:
             best = None
-            for _ in range(2):  # repeat, take min (noisy shared host)
-                env = dict(os.environ, SPARK_GRAFT_SCALING_LEVEL=str(c))
+            for _ in range(repeats):  # take min (noisy shared host)
+                env = dict(
+                    os.environ,
+                    SPARK_GRAFT_SCALING_LEVEL=str(c),
+                    SPARK_GRAFT_SCALE_EDGES=str(gen_edges),
+                )
                 r = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     capture_output=True, text=True, env=env,
@@ -248,14 +255,20 @@ def main():
                             best = d
             return best
 
-        lo = level_run(n_low)
-        hi = level_run(4 * n_low)
+        # strong scaling: identical job, N vs 4N cores
+        lo = level_run(n_low, base_edges)
+        hi = level_run(4 * n_low, base_edges)
+        # weak scaling: 4× data on 4× cores — per-job latency cancels,
+        # so this isolates whether THROUGHPUT scales with parallelism
+        # (the north rule's criterion is throughput efficiency)
+        hi_w = level_run(4 * n_low, 4 * base_edges)
+        tp = lambda d: d["edges"] * d["iterations"] / d["seconds"]  # noqa: E731
         out["scaling"] = {
             f"local{n_low}": lo,
             f"local{4 * n_low}": hi,
-            "efficiency": round(lo["seconds"] / hi["seconds"] / 4.0, 3)
-            if lo and hi
-            else None,
+            f"local{4 * n_low}_4x_data": hi_w,
+            "strong_efficiency": round(lo["seconds"] / hi["seconds"] / 4.0, 3),
+            "weak_throughput_efficiency": round(tp(hi_w) / (4.0 * tp(lo)), 3),
             "host_membw_probe": _membw_probe(),
             "note": "single-VM memory bus is shared across all local "
             "cores (see host_membw_probe); N vs 4N executor clusters "

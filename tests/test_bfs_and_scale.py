@@ -1,0 +1,105 @@
+"""BFS, synthetic power-law generator, and multi-block Louvain paths."""
+
+import pytest
+
+from louvain_communities_openmp_spark.oracle import (
+    adjacency,
+    karate,
+    louvain_seq,
+    ring_of_cliques,
+)
+from louvain_communities_openmp_spark.operators.bfs import bfs
+from louvain_communities_openmp_spark.operators.louvain import (
+    LouvainOptions,
+    louvain,
+)
+from louvain_communities_openmp_spark.sources.edges import (
+    edges_from_list,
+    synthetic_powerlaw_edges,
+)
+
+
+def _bfs_seq(adj, src):
+    dist = {src: 0}
+    frontier = [src]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v, _ in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_matches_sequential(spark):
+    el = ring_of_cliques(6, 5)
+    e = edges_from_list(spark, el)
+    want = _bfs_seq(adjacency(el), 0)
+    got = {r["id"]: r["dist"] for r in bfs(e, [0]).distances.collect()}
+    assert got == want
+
+
+def test_bfs_multi_source_and_unreachable(spark):
+    # two components: 0-1-2 and 10-11; sources {0}
+    el = [(0, 1, 1.0), (1, 0, 1.0), (1, 2, 1.0), (2, 1, 1.0),
+          (10, 11, 1.0), (11, 10, 1.0)]
+    e = edges_from_list(spark, el)
+    got = {r["id"]: r["dist"] for r in bfs(e, [0]).distances.collect()}
+    assert got == {0: 0, 1: 1, 2: 2}  # 10/11 unreachable
+    got2 = {r["id"]: r["dist"] for r in bfs(e, [0, 10]).distances.collect()}
+    assert got2 == {0: 0, 1: 1, 2: 2, 10: 0, 11: 1}
+
+
+def test_synthetic_powerlaw_deterministic_and_symmetric(spark):
+    a = synthetic_powerlaw_edges(spark, 1000, 20000, seed=3)
+    b = synthetic_powerlaw_edges(spark, 1000, 20000, seed=3)
+    ra = sorted(map(tuple, a.collect()))
+    assert ra == sorted(map(tuple, b.collect()))
+    # symmetric: reverse of every edge present with same weight
+    rev = a.selectExpr("dst as src", "src as dst", "w")
+    assert a.exceptAll(rev).count() == 0
+    # skewed: low ids are hubs
+    from pyspark.sql import functions as F
+
+    deg = a.groupBy("src").count()
+    low = deg.where("src < 10").agg(F.avg("count")).collect()[0][0]
+    high = deg.where("src >= 500").agg(F.avg("count")).collect()[0][0]
+    assert low > 5 * high
+
+
+def test_dist_multiblock_cross_block_emissions(spark):
+    """Force multiple kernel blocks on a small graph so the
+    cross-block com-null emissions and gating paths are exercised."""
+    el = karate()
+    e = edges_from_list(spark, el)
+    res = louvain(
+        e, LouvainOptions(mode="dist", num_blocks=4, block_vertices=8)
+    )
+    got = {r["id"]: r["com"] for r in res.membership.collect()}
+    assert len(got) == 34
+    want = louvain_seq(adjacency(el))
+    assert res.modularity >= 0.9 * want.modularity
+    # deterministic across reruns
+    res2 = louvain(
+        e, LouvainOptions(mode="dist", num_blocks=4, block_vertices=8)
+    )
+    assert sorted(got.items()) == sorted(
+        (r["id"], r["com"]) for r in res2.membership.collect()
+    )
+
+
+def test_dist_nonbroadcast_path(spark):
+    """broadcast_vertices=0 forces the shuffle-join groupBy fallback."""
+    el = ring_of_cliques(8, 6)
+    e = edges_from_list(spark, el)
+    res = louvain(
+        e,
+        LouvainOptions(
+            mode="dist", num_blocks=4, block_vertices=8, broadcast_vertices=0
+        ),
+    )
+    m = {r["id"]: r["com"] for r in res.membership.collect()}
+    for q in range(8):
+        assert len({m[q * 6 + i] for i in range(6)}) == 1, f"clique {q} split"
