@@ -207,6 +207,16 @@ def _q_louvain(spark, sf):
     return res.membership
 
 
+def _q_louvain_exact(spark, sf):
+    """Exact-mode Louvain (sequential reference semantics end-to-end) —
+    a pure deterministic function of the edge table, so its full
+    per-vertex membership is verifiable: the oracle is a literal VALUES
+    table produced by the independent numpy port (oracle/louvain_seq.py)
+    over the DuckDB-built co-order edges."""
+    e = coorder_edges(spark, sf)
+    return louvain(e, LouvainOptions(mode="exact")).membership
+
+
 def _docs(spark, sf):
     return spark.read.parquet(f"{sf}/documents.parquet")
 
@@ -264,8 +274,18 @@ def _q_cosine_topk(spark, sf):
 
 
 def _q_embed_neardup(spark, sf):
-    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-    return embedding_neardup_pairs(emb, threshold=0.98)
+    """Near-dup pairs over the embeddings table augmented with exact
+    twins of the first 20 vectors (id + 1e9): random embeddings have no
+    natural pairs at cosine >= 0.98, so the twins give the operator
+    verified positive rows; the DuckDB twin applies the identical
+    augmentation."""
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    twins = emb.where(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"), "embedding"
+    )
+    return embedding_neardup_pairs(emb.unionByName(twins), threshold=0.98)
 
 
 def _q_describe(spark, sf):
@@ -304,11 +324,23 @@ def _q_media_meta(spark, sf):
 
 
 def _q_media_features(spark, sf):
+    """Full decode output with the feature vector exploded to scalar
+    double columns (feat_0..feat_7): array<float> cannot be hashed by
+    the driver's canonicalizer, and the values are dyadic (k/2^16) so
+    the float->double cast is exact — no rounding needed."""
     from louvain_communities_openmp_spark.operators.multimodal import (
+        _FEATURE_DIM,
         extract_media_features,
     )
 
-    return extract_media_features(_media(spark, sf))
+    feats = extract_media_features(_media(spark, sf))
+    fcols = [
+        F.element_at("features", i + 1).cast("double").alias(f"feat_{i}")
+        for i in range(_FEATURE_DIM)
+    ]
+    return feats.select(
+        "id", "media_type", "n_bytes", "width", "height", "checksum", *fcols
+    )
 
 
 def _q_frame_sample(spark, sf):
@@ -374,8 +406,10 @@ def _q_transpose_degrees(spark, sf):
 
 
 def _q_lsh_topk(spark, sf):
-    """Approximate cosine top-k via random-hyperplane LSH buckets
-    (rows-only check: approximation is not SQL-reproducible)."""
+    """Approximate cosine top-k via random-hyperplane LSH buckets. The
+    hyperplanes are deterministic driver-computed literals, so the
+    whole computation (sketch, probe, re-rank) has an exact DuckDB
+    twin with the same coefficients inlined."""
     from louvain_communities_openmp_spark.operators.similarity import cosine_topk_lsh
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -384,11 +418,21 @@ def _q_lsh_topk(spark, sf):
 
 
 def _q_minhash_lsh_pairs(spark, sf):
-    """MinHash-LSH candidate near-dup pairs (rows-only: banding is an
-    approximation of the verified d_ngram_pairs oracle)."""
+    """MinHash-LSH near-dup pairs: banding is md5 over the (oracled)
+    signature columns, so the full band→bucket→verify pipeline is
+    SQL-expressible."""
     from louvain_communities_openmp_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_docs(spark, sf), k=5, num_hashes=8, bands=4)
+
+
+def _q_community_degree(spark, sf):
+    from louvain_communities_openmp_spark.operators.properties import (
+        community_total_degree,
+    )
+
+    e = coorder_edges(spark, sf)
+    return community_total_degree(e, _mod64_membership(e))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -409,6 +453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_components": _q_components,
         "g_labelprop": _q_labelprop,
         "g_louvain": _q_louvain,
+        "g_louvain_exact": _q_louvain_exact,
         "d_dedup_exact": _q_dedup_exact,
         "d_dedup_fingerprint": _q_dedup_fingerprint,
         "d_token_count": _q_token_count,
@@ -427,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_transpose_degrees": _q_transpose_degrees,
         "e_lsh_topk": _q_lsh_topk,
         "d_minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "g_community_degree_mod64": _q_community_degree,
         "m_media_meta": _q_media_meta,
         "m_media_features": _q_media_features,
         "m_frame_sample": _q_frame_sample,
@@ -462,23 +508,244 @@ SELECT doc, {sketch} AS simhash FROM agg
 """
 
 
-def _minhash_sig_sql(k: int = 5, num_hashes: int = 8) -> str:
-    mh = ",\n    ".join(
-        f"list_min(list_transform(sh, s -> md5('{i}:' || s))) AS mh_{i}"
-        for i in range(num_hashes)
-    )
-    return f"""
-WITH t AS (
-  SELECT doc_id AS doc, {_toks('text')} AS toks
-  FROM documents WHERE {_norm('text')} <> ''
+_SHINGLE_CTES = """
+t AS (
+  SELECT doc_id AS doc, {toks} AS toks
+  FROM documents WHERE {norm} <> ''
 ), s AS (
   SELECT doc, CASE WHEN len(toks) < {k} THEN [array_to_string(toks, ' ')]
     ELSE list_distinct(list_transform(generate_series(1, len(toks)-{k}+1),
-         i -> array_to_string(toks[i:i+{k - 1}], ' '))) END AS sh
+         i -> array_to_string(toks[i:i+{k1}], ' '))) END AS sh
   FROM t
-)
+)"""
+
+
+def _shingle_ctes(k: int = 5) -> str:
+    return _SHINGLE_CTES.format(
+        toks=_toks("text"), norm=_norm("text"), k=k, k1=k - 1
+    ).strip()
+
+
+def _mh_exprs(num_hashes: int) -> list[str]:
+    """32-bit minhash slots: 4 per salted md5, exactly the engine's
+    exploded/substring formulation (operators.dedup.minhash_signatures)."""
+    return [
+        f"list_min(list_transform(sh, s -> "
+        f"substr(md5('{i // 4}:' || s), {(i % 4) * 8 + 1}, 8))) AS mh_{i}"
+        for i in range(num_hashes)
+    ]
+
+
+def _minhash_sig_sql(k: int = 5, num_hashes: int = 8) -> str:
+    mh = ",\n    ".join(_mh_exprs(num_hashes))
+    return f"""
+WITH {_shingle_ctes(k)}
 SELECT doc, {mh} FROM s WHERE len(sh) > 0
 """
+
+
+def _minhash_lsh_pairs_sql(
+    k: int = 5, num_hashes: int = 8, bands: int = 4, threshold: float = 0.7
+) -> str:
+    rows = num_hashes // bands
+    mh = ",\n    ".join(_mh_exprs(num_hashes))
+    band_selects = []
+    for b in range(bands):
+        parts = " || '|' || ".join(f"mh_{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc, {b} AS band, md5({parts}) AS h FROM sig"
+        )
+    banded = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {_shingle_ctes(k)},
+sig AS MATERIALIZED (SELECT doc, {mh} FROM s WHERE len(sh) > 0),
+banded AS MATERIALIZED ({banded}),
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b
+  FROM banded x JOIN banded y ON x.band = y.band AND x.h = y.h AND x.doc < y.doc
+),
+sets AS MATERIALIZED (SELECT doc, sh FROM s WHERE len(sh) > 0),
+scored AS (
+  SELECT cand.a, cand.b,
+         CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE)
+           / (len(xa.sh) + len(xb.sh) - len(list_intersect(xa.sh, xb.sh))) AS jr
+  FROM cand JOIN sets xa ON xa.doc = cand.a JOIN sets xb ON xb.doc = cand.b
+)
+SELECT a, b, round(jr, 6) AS jaccard FROM scored WHERE jr >= {threshold} - 1e-12
+"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    sketch = _simhash_sql().strip().rstrip()
+    return f"""
+WITH sh AS MATERIALIZED ({sketch}),
+blocks AS MATERIALIZED (
+  SELECT doc, simhash, b.b AS blk, (simhash >> (b.b * 8)) & 255 AS v
+  FROM sh, (VALUES (0), (1), (2), (3)) b(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc AS a, y.doc AS b, x.simhash AS ha, y.simhash AS hb
+  FROM blocks x JOIN blocks y
+    ON x.blk = y.blk AND x.v = y.v AND x.doc < y.doc
+)
+SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
+
+
+def _sketch_sql_expr(vcol: str, planes: int, dim: int) -> str:
+    """Random-hyperplane sign sketch as a SQL expression over a
+    DOUBLE[] column — the same driver-computed splitmix64 coefficients
+    as operators.similarity.lsh_sketch, inlined as literals, summed in
+    the same left-to-right order (bit-identical projections)."""
+    from louvain_communities_openmp_spark.operators.similarity import _plane_coefs
+
+    terms = []
+    for p in range(planes):
+        coefs = _plane_coefs(p, dim)
+        proj = " + ".join(f"{vcol}[{d + 1}]*({coefs[d]!r})" for d in range(dim))
+        terms.append(
+            f"(CASE WHEN ({proj}) > 0 THEN CAST({2**p} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    return " + ".join(terms)
+
+
+def _lsh_topk_sql(k: int = 10, planes: int = 12, probe_hamming: int = 2,
+                  dim: int = 64) -> str:
+    sk = _sketch_sql_expr("v", planes, dim)
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         {sk} AS sk
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv, sk AS qsk FROM emb ORDER BY vec_id LIMIT {k}),
+pairs AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, c.v), 6) AS sim
+  FROM q JOIN emb c
+    ON bit_count(xor(c.sk, q.qsk)) <= {probe_hamming}
+   AND q.query_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM pairs
+)
+SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= {k}
+"""
+
+
+def _embed_neardup_sql(threshold: float = 0.98, planes: int = 12,
+                       dim: int = 64) -> str:
+    sk = _sketch_sql_expr("v", planes, dim)
+    return f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 1000000000, v FROM base WHERE vec_id < 20
+),
+sks AS MATERIALIZED (SELECT vec_id AS id, v, {sk} AS sk FROM aug),
+pairs AS (
+  SELECT x.id AS a, y.id AS b,
+         round(list_cosine_similarity(x.v, y.v), 6) AS sim
+  FROM sks x JOIN sks y ON x.sk = y.sk AND x.id < y.id
+)
+SELECT a, b, sim FROM pairs WHERE sim >= {threshold}
+"""
+
+
+_LOUVAIN_EXACT_SQL_CACHE: dict[str, str] = {}
+
+
+def _louvain_exact_sql(sf_dir: str = "/root/testdata/sf0.01") -> str | None:
+    """Literal-VALUES oracle for g_louvain_exact.
+
+    The driver's correctness gate runs at sf0.01, where exact-mode
+    Louvain is a deterministic pure function of the co-order edge
+    table. This generator rebuilds those edges with DuckDB (the same
+    SQL the green g_edges row verifies), runs the reference-faithful
+    numpy port (oracle/louvain_seq.py — an implementation independent
+    of the Spark kernel, pinned line-by-line to louvain.hxx), and
+    freezes the resulting membership as a VALUES table. Returns None
+    if the testdata is unavailable (entry omitted → rows-only check).
+    """
+    if sf_dir in _LOUVAIN_EXACT_SQL_CACHE:
+        return _LOUVAIN_EXACT_SQL_CACHE[sf_dir]
+    try:
+        import duckdb
+        import numpy as np
+
+        from louvain_communities_openmp_spark.oracle.louvain_seq import (
+            louvain_seq_fast,
+        )
+
+        con = duckdb.connect()
+        con.sql(
+            f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+        )
+        src, dst, w = con.sql(
+            "SELECT a.l_partkey AS src, b.l_partkey AS dst,"
+            " CAST(count(*) AS DOUBLE) AS w"
+            " FROM lineitem a JOIN lineitem b"
+            " ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey"
+            " GROUP BY a.l_partkey, b.l_partkey"
+        ).fetchnumpy().values()
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        ids = np.unique(np.concatenate([src, dst]))
+        r = louvain_seq_fast(
+            np.searchsorted(ids, src),
+            np.searchsorted(ids, dst),
+            np.asarray(w, dtype=np.float64),
+        )
+        rows = ",".join(
+            f"({int(i)},{int(c)})" for i, c in zip(ids, r.membership)
+        )
+        sql = (
+            "SELECT CAST(id AS BIGINT) AS id, CAST(com AS BIGINT) AS com "
+            f"FROM (VALUES {rows}) AS t(id, com)"
+        )
+    except Exception:  # noqa: BLE001 - testdata absent / layout changed
+        sql = None
+    _LOUVAIN_EXACT_SQL_CACHE[sf_dir] = sql
+    return sql
+
+
+def _disconnected_sql(rounds: int = 16) -> str:
+    """Per-community internal connectivity: hash-min propagation over
+    intra-community (id%64) edges, unrolled with a convergence sentinel —
+    if round {rounds} still changed any label, a (-1,-1) row is emitted
+    so the gate fails loudly instead of silently comparing unconverged
+    labels (the fix for the hardcoded-depth hazard)."""
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "intra AS MATERIALIZED (SELECT src, dst FROM edges WHERE src % 64 = dst % 64)",
+        "c0 AS MATERIALIZED (SELECT id, id AS comp FROM v)",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""
+c{r + 1} AS MATERIALIZED (
+  SELECT p.id, least(p.comp, coalesce(c.mn, p.comp)) AS comp
+  FROM c{r} p LEFT JOIN (
+    SELECT e.dst AS id, min(q.comp) AS mn
+    FROM intra e JOIN c{r} q ON e.src = q.id GROUP BY e.dst
+  ) c ON p.id = c.id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id % 64 AS com, count(DISTINCT comp) AS n_parts
+FROM c{rounds} GROUP BY id % 64 HAVING count(DISTINCT comp) > 1
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE EXISTS (
+  SELECT 1 FROM c{rounds - 1} a JOIN c{rounds} b
+  ON a.id = b.id AND a.comp <> b.comp)"""
+    )
 
 
 def _pagerank3_sql(alpha: float = 0.85, iters: int = 3) -> str:
@@ -507,11 +774,13 @@ r{t + 1} AS (
     )
 
 
-def _components_sql(rounds: int = 8) -> str:
+def _components_sql(rounds: int = 16) -> str:
     """Hash-min label propagation unrolled to a fixed round count —
     identical dynamics to operators.components.connected_components,
-    which iterates to fixpoint (equal whenever the graph converges
-    within `rounds`; the sf0.01 co-order graph converges in <= 4).
+    which iterates to fixpoint. A convergence sentinel row (-1,-1) is
+    appended if the last round still changed a label, so an
+    insufficient unroll depth fails the gate loudly instead of
+    comparing unconverged labels against the (correct) engine.
     MATERIALIZED stops DuckDB from exponentially inlining each level.
     """
     ctes = [
@@ -528,7 +797,16 @@ l{k + 1} AS MATERIALIZED (
     FROM edges e JOIN l{k} q ON e.src = q.id GROUP BY e.dst
   ) c ON p.id = c.id
 )""")
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, comp FROM l{rounds}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, comp FROM l{rounds}
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE EXISTS (
+  SELECT 1 FROM l{rounds - 1} a JOIN l{rounds} b
+  ON a.id = b.id AND a.comp <> b.comp)"""
+    )
 
 
 def _labelprop_sql(rounds: int = 4) -> str:
@@ -561,10 +839,12 @@ l{k + 1} AS MATERIALIZED (
     return "WITH " + ",\n".join(ctes) + f"\nSELECT id, label FROM l{rounds}"
 
 
-def _bfs_sql(rounds: int = 8) -> str:
+def _bfs_sql(rounds: int = 16) -> str:
     """Min-plus relaxation unrolled to a fixed round count — equal to
     operators.bfs.bfs (fixpoint) whenever the source's eccentricity is
-    <= rounds (true for the sf0.01 co-order graph)."""
+    <= rounds. Appends a (-1,-1) sentinel if the final round still
+    reached new vertices or improved a distance, so an insufficient
+    depth fails loudly."""
     ctes = [
         _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
         "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
@@ -579,7 +859,17 @@ d{k + 1} AS MATERIALIZED (
     SELECT e.dst AS id, p.dist + 1 AS dist FROM edges e JOIN d{k} p ON e.src = p.id
   ) GROUP BY id
 )""")
-    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, dist FROM d{rounds}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, dist FROM d{rounds}
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE
+  (SELECT count(*) FROM d{rounds}) <> (SELECT count(*) FROM d{rounds - 1})
+  OR EXISTS (SELECT 1 FROM d{rounds - 1} a JOIN d{rounds} b
+             ON a.id = b.id AND a.dist <> b.dist)"""
+    )
 
 
 _SESSIONS_SQL = """
@@ -636,7 +926,7 @@ def oracle_sql() -> dict[str, str]:
     )
     en_cnt = f"len(list_filter({_toks('text')}, x -> x IN {_EN_STOP}))"
     de_cnt = f"len(list_filter({_toks('text')}, x -> x IN {_DE_STOP}))"
-    return {
+    out = {
         "g_edges": """
 SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS DOUBLE) AS w
 FROM lineitem a JOIN lineitem b
@@ -691,6 +981,10 @@ SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id 
         "g_components": _components_sql(),
         "g_labelprop": _labelprop_sql(),
         "g_bfs_hops": _bfs_sql(),
+        "g_disconnected_mod64": _disconnected_sql(),
+        "g_community_degree_mod64": f"WITH {_EDGES_CTE.strip()},\n"
+        "deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)\n"
+        "SELECT id % 64 AS com, sum(deg) AS total_degree FROM deg GROUP BY id % 64",
         "g_transpose_degrees": f"WITH {_EDGES_CTE.strip()},\n"
         """deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
 SELECT e.dst AS src, e.src AS dst, e.w,
@@ -704,6 +998,21 @@ SELECT doc_id AS id, 'text' AS media_type,
        CAST(1 + CAST(('0x' || substr(sha256(text), 5, 4)) AS BIGINT) % 4096 AS INT) AS height,
        substr(sha256(text), 1, 16) AS checksum
 FROM documents""",
+        "m_media_features": (
+            """
+SELECT doc_id AS id, 'text' AS media_type,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       CAST(1 + CAST(('0x' || substr(sha256(text), 1, 4)) AS BIGINT) % 4096 AS INT) AS width,
+       CAST(1 + CAST(('0x' || substr(sha256(text), 5, 4)) AS BIGINT) % 4096 AS INT) AS height,
+       substr(sha256(text), 1, 16) AS checksum,
+"""
+            + ",\n".join(
+                f"       CAST(('0x' || substr(sha256(text), {9 + 4 * i}, 4)) AS BIGINT)"
+                f" / 65536.0 AS feat_{i}"
+                for i in range(8)
+            )
+            + "\nFROM documents"
+        ),
         "m_frame_sample": """
 WITH b AS (SELECT doc_id AS id, octet_length(CAST(text AS BLOB)) AS nb FROM documents),
 n AS (SELECT id, nb, least(8, greatest(1, nb // 1024)) AS nf FROM b)
@@ -742,6 +1051,10 @@ FROM documents""",
         "d_minhash_sig": _minhash_sig_sql(),
         "d_ngram_pairs": _ngram_pairs_sql(),
         "d_simhash": _simhash_sql(),
+        "d_minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
+        "d_simhash_pairs": _simhash_pairs_sql(),
+        "e_lsh_topk": _lsh_topk_sql(),
+        "e_embed_neardup": _embed_neardup_sql(),
         "e_cosine_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
@@ -761,3 +1074,7 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 6) AS value_sum
 FROM events GROUP BY 1, 2""",
     }
+    lx = _louvain_exact_sql()
+    if lx is not None:
+        out["g_louvain_exact"] = lx
+    return out

@@ -83,6 +83,19 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     extras["louvain_modularity"] = round(res.modularity, 6)
     extras["louvain_passes"] = res.passes
     extras["louvain_edges_per_sec"] = round(n_edges / times["louvain"], 1)
+    # per-phase split, the analog of the reference's per-run
+    # marking/init/firstPass/localMove/aggregation report
+    # (main.cxx:70-76, process.js:8) from the collected pass_log
+    move = [r.get("t_move", 0.0) for r in res.pass_log]
+    aggs = [r.get("t_agg", 0.0) for r in res.pass_log]
+    local = [r.get("t_local", 0.0) for r in res.pass_log]
+    extras["louvain_phase_split"] = {
+        "first_pass_sec": round(move[0] if move else 0.0, 3),
+        "local_move_sec": round(sum(move), 3),
+        "aggregation_sec": round(sum(aggs), 3),
+        "local_finish_sec": round(sum(local), 3),
+        "pass_log": res.pass_log,
+    }
 
     mem = res.membership
     timed("modularity_eval", lambda: modularity(edges, mem))
@@ -263,7 +276,7 @@ def main():
         # (the north rule's criterion is throughput efficiency)
         hi_w = level_run(4 * n_low, 4 * base_edges)
         tp = lambda d: d["edges"] * d["iterations"] / d["seconds"]  # noqa: E731
-        out["scaling"] = {
+        block = {
             f"local{n_low}": lo,
             f"local{4 * n_low}": hi,
             f"local{4 * n_low}_4x_data": hi_w,
@@ -273,7 +286,21 @@ def main():
             "note": "single-VM memory bus is shared across all local "
             "cores (see host_membw_probe); N vs 4N executor clusters "
             "scale memory bandwidth with executor count",
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        out["scaling"] = block
+        # persist so non---scaling bench runs (the per-round driver run)
+        # carry the latest committed scaling evidence in BENCH_r{N}.json
+        spath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "SCALING.json")
+        with open(spath, "w") as f:
+            json.dump(block, f, indent=1)
+    else:
+        spath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "SCALING.json")
+        if os.path.exists(spath):
+            with open(spath) as f:
+                out["scaling"] = json.load(f)
     print(json.dumps(out))
 
 

@@ -105,9 +105,16 @@ def shingles(col, k: int = 5) -> Column:
 
 
 def minhash_hex(shingle_col: Column, seed: int) -> Column:
-    """One minhash band value: lexicographic min over shingles of
-    md5(seed || ':' || shingle) — fixed-width hex, so string-min ==
-    numeric-min; portable to any SQL engine with md5()."""
+    """One 128-bit minhash value over an array of shingles: lexicographic
+    min of md5(seed || ':' || shingle) — fixed-width hex, so string-min
+    == numeric-min; portable to any SQL engine with md5().
+
+    Array-column convenience form. The production signature plan
+    (operators.dedup.minhash_signatures) uses the exploded/codegen
+    formulation instead — this HOF chain is interpreted and re-hashes
+    every shingle once per seed, which is exactly the slow path at
+    corpus scale.
+    """
     return F.array_min(
         F.transform(
             shingle_col, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, minhash_hex, shingles
+from ..functions.text import fingerprint, normalize, tokens
 
 
 def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -49,10 +49,32 @@ def dedup_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 def _shingled(docs: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    return docs.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
-    ).where(F.size("sh") > 0)
+    """(doc, sh): distinct word k-gram shingles per non-empty document.
+
+    Plan shape matters enormously here: the token array is projected as
+    a REAL column before the shingle transform so the per-shingle
+    lambda references an attribute, not the tokenization expression —
+    inlining tokens(text) into the lambda makes Catalyst re-run the
+    regexp chain once per shingle position, turning an O(tokens) doc
+    scan into O(tokens × shingles) (measured 50× slower). The non-empty
+    filter is likewise applied to the raw text (one cheap predicate
+    that pushes to the scan) instead of to size(sh), whose pushdown
+    would re-inline the whole shingle expression into the scan filter.
+
+    Equivalent semantics to filtering size(sh) > 0: normalize(text)
+    non-empty ⇔ at least one token ⇔ at least one shingle.
+    """
+    td = docs.where(normalize(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
+    )
+    n = F.size("toks")
+    sh = F.when(n < k, F.array(F.array_join("toks", " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice("toks", i, k), " "),
+        )
+    )
+    return td.select("doc", F.array_distinct(sh).alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -82,19 +104,15 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
+    # gate on the UNROUNDED ratio with the same -1e-12 epsilon as the
+    # DuckDB twin (rounding first would keep borderline pairs the twin
+    # drops); round only the projected output column
+    j = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     out = (
         common.join(sizes.select(F.col("doc").alias("a"), F.col("n").alias("na")), "a")
         .join(sizes.select(F.col("doc").alias("b"), F.col("n").alias("nb")), "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+        .where(j >= threshold - 1e-12)
+        .select("a", "b", F.round(j, 6).alias("jaccard"))
     )
     return out
 
@@ -106,11 +124,56 @@ def minhash_signatures(
     k: int = 5,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """(doc, mh_0..mh_{n-1}): md5-based minhash signature columns.
-    Engine-portable (md5 + string-min), fully deterministic."""
-    s = _shingled(docs, text_col, id_col, k)
-    cols = [minhash_hex(F.col("sh"), i).alias(f"mh_{i}") for i in range(num_hashes)]
-    return s.select("doc", *cols)
+    """(doc, mh_0..mh_{n-1}): md5-based 32-bit minhash signature columns
+    (8 hex chars each). Engine-portable (md5 + string-min over
+    fixed-width lowercase hex == numeric min), fully deterministic.
+
+    Plan: explode shingle POSITIONS (a cheap int sequence), build each
+    shingle from the pass-through token-array attribute, then ceil(n/4)
+    md5 calls per shingle (one salted 128-bit hash yields four
+    independent 32-bit minhash slots) → groupBy(doc) with per-column
+    min (map-side combined). Two plan hazards this shape dodges, both
+    measured at 30-50× on sf0.1:
+
+    - inlining tokens(text) into the shingle-transform lambda makes
+      Catalyst re-run the regexp chain once per shingle position
+      (O(tokens × shingles) per doc) — so tokens is projected as a real
+      column first;
+    - exploding the built shingle ARRAY triggers
+      InferFiltersFromGenerate, whose size(sh)>0 predicate pushes to
+      the scan and re-inlines the entire shingle expression into the
+      filter — exploding a position sequence leaves nothing expensive
+      to infer a filter from.
+
+    Duplicate shingles are NOT dropped (min is idempotent), saving the
+    array_distinct.
+    """
+    td = docs.where(normalize(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
+    )
+    n = F.size("toks")
+    npos = F.when(n < k, F.lit(1)).otherwise(n - k + 1)
+    ex = td.select(
+        "doc", "toks", F.explode(F.sequence(F.lit(1), npos)).alias("i")
+    )
+    g = F.when(F.size("toks") < k, F.array_join("toks", " ")).otherwise(
+        F.array_join(F.slice("toks", F.col("i"), k), " ")
+    )
+    n_salts = (num_hashes + 3) // 4
+    hashed = ex.select(
+        "doc",
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), g)).alias(f"_h{j}")
+            for j in range(n_salts)
+        ],
+    )
+    aggs = []
+    for i in range(num_hashes):
+        j, off = divmod(i, 4)
+        aggs.append(
+            F.min(F.substring(F.col(f"_h{j}"), off * 8 + 1, 8)).alias(f"mh_{i}")
+        )
+    return hashed.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -156,19 +219,14 @@ def minhash_lsh_pairs(
         .distinct()
     )
     s = _shingled(docs, text_col, id_col, k)
+    j = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(
+        F.array_union("sha", "shb")
+    )
     verified = (
         cand.join(s.select(F.col("doc").alias("a"), F.col("sh").alias("sha")), "a")
         .join(s.select(F.col("doc").alias("b"), F.col("sh").alias("shb")), "b")
-        .select(
-            "a",
-            "b",
-            F.round(
-                F.size(F.array_intersect("sha", "shb")).cast("double")
-                / F.size(F.array_union("sha", "shb")),
-                6,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+        .where(j >= threshold - 1e-12)
+        .select("a", "b", F.round(j, 6).alias("jaccard"))
     )
     return verified
 
@@ -244,5 +302,7 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         .distinct()
     )
     return cand.select(
-        "a", "b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming")
+        "a",
+        "b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)

@@ -82,6 +82,16 @@ class LouvainOptions:
     broadcast_vertices: int = 5_000_000
     run_dir: str | None = None
     resume: bool = False
+    # dynamic/warm-start Louvain (L10): seed pass-0 membership from a
+    # previous run instead of singletons — the DYNAMIC path's
+    # louvainInitializeFromW (louvain.hxx:305-318, DYNAMIC flag
+    # louvain.hxx:1009). Vertices absent from the frame start as their
+    # own singleton. vtot/ctot are always recomputed from the CURRENT
+    # edge table (louvainUpdateWeightsFromU semantics,
+    # louvain.hxx:330-389 — after a batch update the weights must
+    # reflect the new graph, only the membership carries over).
+    # Supported by dist/auto modes; exact mode ignores it.
+    initial_membership: DataFrame | None = None
 
 
 @dataclass
@@ -479,6 +489,13 @@ def _local_move_round(
         F.max("com").alias("_nc"),
         F.sum("gain").alias("_gain"),
         F.max("vaff").alias("_vaff"),
+        # ownership invariant: each vertex's full out-adjacency lives in
+        # exactly one block (blocking is by src), so exactly one block
+        # may emit an authoritative (non-null) com. If a plan change
+        # ever split an adjacency across partitions, two blocks would
+        # emit conflicting coms with double-counted gains — detect and
+        # fail loudly instead of letting max(com) merge them silently.
+        F.sum(F.when(F.col("com").isNotNull(), 1).otherwise(0)).alias("_ncom"),
     )
     # localCheckpoint truncates the logical plan — without it every
     # iteration's plan embeds all previous iterations and Catalyst
@@ -490,11 +507,20 @@ def _local_move_round(
             F.coalesce("_nc", "com").alias("com"),
             F.coalesce("_vaff", F.lit(False)).alias("vaff"),
             F.coalesce("_gain", F.lit(0.0)).alias("gain"),
+            F.coalesce("_ncom", F.lit(0)).alias("_viol"),
         )
         .localCheckpoint(eager=True)
     )
-    el = state.agg(F.sum("gain").alias("el")).collect()[0]["el"] or 0.0
-    return state, float(el)
+    row = state.agg(
+        F.sum("gain").alias("el"), F.max("_viol").alias("mv")
+    ).collect()[0]
+    if int(row["mv"] or 0) > 1:
+        raise RuntimeError(
+            "louvain block-ownership invariant violated: a vertex "
+            "received authoritative community emissions from "
+            f"{int(row['mv'])} blocks (adjacency split across partitions)"
+        )
+    return state, float(row["el"] or 0.0)
 
 
 def _renumber(membership: DataFrame) -> DataFrame:
@@ -590,6 +616,22 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             src_a = pdf["src"].to_numpy(dtype=np.int64)
             dst_a = pdf["dst"].to_numpy(dtype=np.int64)
             ids = np.unique(np.concatenate([src_a, dst_a]))
+            init_arr = None
+            if p == 0 and opts.initial_membership is not None:
+                # warm start collapsing straight into the local finish:
+                # dense-remap provided labels, missing vertices become
+                # fresh singleton labels after the provided range
+                im = opts.initial_membership.select("id", "com").toPandas()
+                prov = (
+                    pd.Series(im["com"].values, index=im["id"].values)
+                    .reindex(ids)
+                    .to_numpy(dtype="float64")
+                )
+                have = ~np.isnan(prov)
+                dense = np.unique(prov[have])
+                init_arr = np.empty(len(ids), dtype=np.int64)
+                init_arr[have] = np.searchsorted(dense, prov[have])
+                init_arr[~have] = len(dense) + np.arange(int((~have).sum()))
             r = louvain_seq_fast(
                 np.searchsorted(ids, src_a),
                 np.searchsorted(ids, dst_a),
@@ -599,6 +641,7 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 max_iterations=opts.max_iterations,
                 max_passes=opts.max_passes - p,
                 aggregation_tolerance=opts.aggregation_tolerance,
+                init_com=init_arr,
             )
             mem = spark.createDataFrame(
                 pd.DataFrame(
@@ -620,8 +663,24 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         t0 = time.time()
         vtot = vertex_weights(edges).persist()
         gn = vtot.count()
-        mem = vtot.select("id", F.col("id").alias("com")).localCheckpoint(eager=True)
-        ctot = vtot.select(F.col("id").alias("com"), F.col("vtot").alias("ctot"))
+        if p == 0 and opts.initial_membership is not None:
+            # warm start (louvainInitializeFromW): provided membership,
+            # absent vertices as singletons; ctot re-accumulated from
+            # the CURRENT vtot (louvainUpdateWeightsFromU)
+            mem = (
+                vtot.select("id")
+                .join(opts.initial_membership.select("id", "com"), "id", "left")
+                .select("id", F.coalesce("com", F.col("id")).alias("com"))
+                .localCheckpoint(eager=True)
+            )
+            ctot = (
+                vtot.join(mem, "id")
+                .groupBy("com")
+                .agg(F.sum("vtot").alias("ctot"))
+            )
+        else:
+            mem = vtot.select("id", F.col("id").alias("com")).localCheckpoint(eager=True)
+            ctot = vtot.select(F.col("id").alias("com"), F.col("vtot").alias("ctot"))
         iters = 0
         low_rounds = 0
         stall_rounds = 0

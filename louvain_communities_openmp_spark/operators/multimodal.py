@@ -37,8 +37,11 @@ def _fake_decode(payload: bytes) -> dict:
     h = hashlib.sha256(payload).digest()
     width = 1 + int.from_bytes(h[0:2], "big") % 4096
     height = 1 + int.from_bytes(h[2:4], "big") % 4096
+    # divisor 2^16: a 16-bit int over a power of two is exactly
+    # representable in float32, so the features survive the
+    # array<float> schema and the double-typed SQL oracle bit-identically
     feats = [
-        (int.from_bytes(h[4 + 2 * i : 6 + 2 * i], "big") / 65535.0)
+        (int.from_bytes(h[4 + 2 * i : 6 + 2 * i], "big") / 65536.0)
         for i in range(_FEATURE_DIM)
     ]
     return {

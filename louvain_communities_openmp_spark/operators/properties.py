@@ -39,6 +39,19 @@ def community_weights(membership: DataFrame, vtot: DataFrame) -> DataFrame:
     )
 
 
+def community_total_degree(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Σ out-degree per community: (com, total_degree).
+    → louvain.hxx:694-723 (louvainCommunityTotalDegreeW). Two map-side
+    combined aggregations; the degree frame is vertex-sized so the
+    membership join broadcasts at any realistic community count."""
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    return (
+        deg.join(membership, "id")
+        .groupBy("com")
+        .agg(F.sum("deg").alias("total_degree"))
+    )
+
+
 def community_sizes(membership: DataFrame) -> DataFrame:
     """→ louvain.hxx:734-763 / properties.hxx:269-300."""
     return membership.groupBy("com").agg(F.count("*").alias("size"))

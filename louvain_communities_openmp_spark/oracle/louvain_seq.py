@@ -262,6 +262,7 @@ def louvain_seq_fast(
     max_iterations: int = 20,
     max_passes: int = 10,
     aggregation_tolerance: float = 0.8,
+    init_com=None,
 ) -> LouvainSeqResult:
     """Numpy implementation of louvain_seq with identical semantics
     (asserted equal on every fixture in tests/test_oracle.py).
@@ -269,6 +270,12 @@ def louvain_seq_fast(
     Input: parallel edge arrays of the symmetric digraph, sorted by
     (src, dst) — matching oracle.graphs.adjacency row order. Vertices
     are dense 0..max id.
+
+    ``init_com`` (optional, len S, values in [0, S)): warm-start
+    membership — the DYNAMIC path's louvainInitializeFromW
+    (louvain.hxx:305-318): vcom seeded from the previous run, ctot
+    accumulated from it (louvainCommunityWeightsW semantics) instead of
+    singleton initialization.
     """
     import numpy as np
 
@@ -277,6 +284,14 @@ def louvain_seq_fast(
     w = np.asarray(w, dtype=np.float64)
     order = np.lexsort((dst, src))
     src, dst, w = src[order], dst[order], w[order]
+    # collapse duplicate (src, dst) keys LAST-wins — the faithful port's
+    # adjacency() LazyBitset semantics (Graph.hxx addEdge overwrites);
+    # parallel edges would otherwise silently sum into utot/scan weights
+    if len(src) > 1:
+        dup = (src[1:] == src[:-1]) & (dst[1:] == dst[:-1])
+        if bool(dup.any()):
+            keep = np.r_[~dup, True]  # last occurrence of each key
+            src, dst, w = src[keep], dst[keep], w[keep]
     S = int(max(src.max(), dst.max())) + 1 if len(src) else 0
     if S == 0:
         return LouvainSeqResult([], [], 0, 0, 0.0, [])
@@ -286,8 +301,14 @@ def louvain_seq_fast(
     R = resolution
     utot = np.bincount(src, weights=w, minlength=S)
     M = float(utot.sum()) / 2.0
-    ucom = np.arange(S, dtype=np.int64)
-    ctot = utot.copy()
+    if init_com is not None:
+        ucom = np.asarray(init_com, dtype=np.int64).copy()
+        if len(ucom) != S:
+            raise ValueError(f"init_com length {len(ucom)} != vertices {S}")
+        ctot = np.bincount(ucom, weights=utot, minlength=S)
+    else:
+        ucom = np.arange(S, dtype=np.int64)
+        ctot = utot.copy()
     vaff = np.ones(S, dtype=np.int8)
     vtot = utot
     pass_log = []

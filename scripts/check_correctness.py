@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs each `__spark_entry__.queries()` entry on Spark AND its
+`oracle_sql()` DuckDB twin at sf0.01 (tables pre-registered as views),
+canonicalizes both frames (columns sorted by name, rows sorted by all
+columns), and reports rows/schema/value matches. Use while iterating:
+
+    python scripts/check_correctness.py            # all queries
+    python scripts/check_correctness.py d_simhash_pairs e_lsh_topk
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+            )
+        elif "float" in str(pdf[c].dtype):
+            pdf[c] = pdf[c].astype("float64")
+        elif "int" in str(pdf[c].dtype).lower():
+            pdf[c] = pdf[c].astype("int64")
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if a.shape != b.shape or list(a.columns) != list(b.columns):
+        return False
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if "float" in str(x.dtype) or "float" in str(y.dtype):
+            ok = all(
+                (math.isnan(p) and math.isnan(q)) or p == q
+                for p, q in zip(
+                    x.astype("float64"), y.astype("float64")
+                )
+            )
+        else:
+            ok = x.astype(str).equals(y.astype(str))
+        if not ok:
+            print(f"    column {c!r} differs")
+            bad = [
+                (i, p, q)
+                for i, (p, q) in enumerate(zip(x, y))
+                if str(p) != str(q)
+            ][:5]
+            for i, p, q in bad:
+                print(f"      row {i}: spark={p!r} oracle={q!r}")
+            return False
+    return True
+
+
+def main():
+    names = sys.argv[1:]
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+    from louvain_communities_openmp_spark.session import get_spark
+
+    spark = get_spark(app_name="check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs = entry.queries()
+    oq = entry.oracle_sql()
+    sel = names or list(qs)
+    fails = []
+    for name in sel:
+        if name not in qs:
+            print(f"{name}: UNKNOWN query")
+            continue
+        try:
+            sdf = qs[name](spark, SF_DIR).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
+            fails.append(name)
+            continue
+        if name not in oq:
+            print(f"{name}: no_oracle ({len(sdf)} rows)")
+            continue
+        try:
+            odf = con.sql(oq[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: ORACLE ERROR {type(e).__name__}: {e}")
+            fails.append(name)
+            continue
+        a, b = _canon(sdf), _canon(odf)
+        rows = len(a) == len(b)
+        schema = list(a.columns) == list(b.columns)
+        vals = rows and schema and _values_equal(a, b)
+        status = "OK" if (rows and schema and vals) else "FAIL"
+        print(
+            f"{name}: {status} rows={len(a)}/{len(b)} schema={schema} "
+            f"values={vals}"
+        )
+        if status == "FAIL":
+            fails.append(name)
+            if not schema:
+                print(f"    spark cols:  {list(a.columns)}")
+                print(f"    oracle cols: {list(b.columns)}")
+    spark.stop()
+    if fails:
+        print(f"\nFAILED: {fails}")
+        sys.exit(1)
+    print("\nall green")
+
+
+if __name__ == "__main__":
+    main()

@@ -115,6 +115,69 @@ def test_dist_powerlaw_quality(spark):
     assert res.modularity >= 0.9 * want.modularity
 
 
+def test_warm_start_oracle_converged_input(spark):
+    """Seeding louvain_seq_fast with its own converged membership makes
+    the next run converge immediately (louvainInitializeFromW)."""
+    import numpy as np
+
+    edge_list = ring_of_cliques(8, 6)
+    src, dst, w = zip(*edge_list)
+    from louvain_communities_openmp_spark.oracle.louvain_seq import (
+        louvain_seq_fast,
+    )
+
+    cold = louvain_seq_fast(src, dst, w)
+    # remap membership to dense labels for init
+    mem = np.asarray(cold.membership)
+    dense = np.searchsorted(np.unique(mem), mem)
+    warm = louvain_seq_fast(src, dst, w, init_com=dense)
+    assert warm.iterations < cold.iterations
+    assert warm.modularity >= cold.modularity - 1e-9
+
+
+def test_warm_start_after_delta_batch(spark):
+    """DYNAMIC path: apply a ~5% edge delta, warm-start from the stale
+    membership — converges to the cold-run modularity (within 1e-6)
+    in no more iterations (louvain.hxx:305-389 semantics)."""
+    from louvain_communities_openmp_spark.operators.structure import (
+        generate_edge_deltas,
+    )
+    from louvain_communities_openmp_spark.operators.transforms import apply_batch
+
+    edge_list = ring_of_cliques(8, 6)
+    e0 = edges_from_list(spark, edge_list).persist()
+    cold0 = louvain(e0, LouvainOptions(mode="auto"))
+
+    dels, ins = generate_edge_deltas(e0, frac_del=0.05, frac_ins=0.05)
+    e1 = apply_batch(e0, dels, ins).persist()
+
+    cold1 = louvain(e1, LouvainOptions(mode="auto"))
+    warm1 = louvain(
+        e1,
+        LouvainOptions(mode="auto", initial_membership=cold0.membership),
+    )
+    assert warm1.modularity >= cold1.modularity - 1e-6
+    assert warm1.iterations <= cold1.iterations
+    # valid partition: every vertex exactly once
+    n = warm1.membership.count()
+    assert n == warm1.membership.select("id").distinct().count()
+    assert n == e1.selectExpr("src AS id").union(e1.selectExpr("dst")).distinct().count()
+
+
+def test_warm_start_dist_mode(spark):
+    edge_list = ring_of_cliques(8, 6)
+    e = edges_from_list(spark, edge_list)
+    cold = louvain(e, LouvainOptions(mode="dist", num_blocks=4))
+    warm = louvain(
+        e,
+        LouvainOptions(
+            mode="dist", num_blocks=4, initial_membership=cold.membership
+        ),
+    )
+    assert warm.modularity >= cold.modularity - 1e-9
+    assert warm.iterations <= cold.iterations
+
+
 def test_checkpoint_and_resume(spark, tmp_path):
     rd = str(tmp_path / "run")
     edge_list = ring_of_cliques(8, 6)
