@@ -153,14 +153,18 @@ def _louvain_pass0_throughput(cpus: int, sf_dir: str) -> dict:  # noqa: ARG001
         res = louvain(
             edges,
             # IDENTICAL logical work at every parallelism level: same
-            # 32 kernel blocks, same fixed iteration count — only the
-            # core count varies, so wall-time ratio isolates scaling
+            # 32 kernel blocks, same FIXED iteration count (tolerance 0
+            # disables early convergence — without it the 4x-data weak
+            # run can converge in fewer iterations and the throughput
+            # ratio compares unlike work) — only the core count varies,
+            # so the wall-time ratio isolates scaling
             LouvainOptions(
                 mode="dist",
                 num_blocks=32,
                 block_vertices=2048,
                 max_iterations=3,
                 max_passes=1,
+                tolerance=0.0,
             ),
         )
         res.membership.count()
@@ -177,27 +181,81 @@ def _louvain_pass0_throughput(cpus: int, sf_dir: str) -> dict:  # noqa: ARG001
         spark.stop()
 
 
+def _bigdist_run(broadcast_vertices: int) -> dict:
+    """One dist-mode Louvain pass-0 on a ≥20M-directed-edge synthetic
+    power-law graph, with the given broadcast threshold.
+
+    broadcast_vertices=0 forces the non-broadcast scale path (per-pass
+    edge bucketing + per-iteration vertex-state routing via cogroup) —
+    the plan that runs at 100×-scale vertex counts. Compared against
+    the broadcast path on the identical input to show the fallback is
+    vertex-bound, not edge-bound.
+    """
+    from louvain_communities_openmp_spark.operators.louvain import (
+        LouvainOptions,
+        louvain,
+    )
+    from louvain_communities_openmp_spark.session import get_spark
+    from louvain_communities_openmp_spark.sources.edges import (
+        synthetic_powerlaw_edges,
+    )
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_vertices = int(os.environ.get("SPARK_GRAFT_BIGDIST_VERTICES", "3000000"))
+    n_gen = int(os.environ.get("SPARK_GRAFT_BIGDIST_EDGES", "14000000"))
+    spark = get_spark(
+        app_name=f"bigdist-{broadcast_vertices}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    try:
+        edges = synthetic_powerlaw_edges(spark, n_vertices, n_gen).persist()
+        n = edges.count()
+        t0 = time.time()
+        res = louvain(
+            edges,
+            LouvainOptions(
+                mode="dist",
+                num_blocks=cpus,
+                block_vertices=2048,
+                max_iterations=3,
+                max_passes=1,
+                broadcast_vertices=broadcast_vertices,
+            ),
+        )
+        res.membership.count()
+        dt = time.time() - t0
+        return {
+            "path": "fallback" if broadcast_vertices == 0 else "broadcast",
+            "edges_directed": n,
+            "vertices": n_vertices,
+            "seconds": round(dt, 2),
+            "sec_per_iteration": round(dt / max(res.iterations, 1), 2),
+            "edges_per_sec": round(n * res.iterations / dt, 1),
+            "iterations": res.iterations,
+            "modularity": round(res.modularity, 6),
+        }
+    finally:
+        spark.stop()
+
+
 def _membw_probe(workers: int = 8, n: int = 8_000_000) -> dict:
     """Parallel numpy-sort microbenchmark: per-task slowdown vs solo
     quantifies the host's memory-bandwidth ceiling (context for the
-    local-mode scaling numbers)."""
+    local-mode scaling numbers). Solo = min of 3 warm runs in a
+    subprocess (same code path as the parallel tasks — a cold in-process
+    first run would overstate solo time and can even report parallel <
+    solo on a noisy host)."""
     from concurrent.futures import ProcessPoolExecutor
 
-    def solo():
-        import numpy as np
-
-        a = np.random.RandomState(0).rand(n)
-        t0 = time.time()
-        np.sort(a)
-        return time.time() - t0
-
-    t1 = solo()
+    with ProcessPoolExecutor(1) as ex:
+        solo = min(ex.map(_membw_task, [n] * 3))
     with ProcessPoolExecutor(workers) as ex:
         ts = list(ex.map(_membw_task, [n] * workers))
     return {
-        "solo_sort_sec": round(t1, 2),
+        "solo_sort_sec": round(solo, 2),
         f"per_task_at_{workers}_workers_sec": round(max(ts), 2),
-        "slowdown": round(max(ts) / t1, 2),
+        "slowdown": round(max(ts) / solo, 2),
     }
 
 
@@ -218,6 +276,21 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     scaling = "--scaling" in sys.argv
+
+    if "--bigdist" in sys.argv:
+        # standalone: prove the >broadcast_vertices fallback at >=20M
+        # directed edges, vs the broadcast path on the identical input
+        block = {
+            "fallback": _bigdist_run(0),
+            "broadcast": _bigdist_run(1 << 40),
+            "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        bpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BIGDIST.json")
+        with open(bpath, "w") as f:
+            json.dump(block, f, indent=1)
+        print(json.dumps(block))
+        return
 
     level = os.environ.get("SPARK_GRAFT_SCALING_LEVEL")
     if level:
@@ -247,34 +320,40 @@ def main():
 
         n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         base_edges = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", "6000000"))
-        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 
-        def level_run(c: int, gen_edges: int) -> dict:
-            best = None
-            for _ in range(repeats):  # take min (noisy shared host)
-                env = dict(
-                    os.environ,
-                    SPARK_GRAFT_SCALING_LEVEL=str(c),
-                    SPARK_GRAFT_SCALE_EDGES=str(gen_edges),
-                )
-                r = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__)],
-                    capture_output=True, text=True, env=env,
-                )
-                for ln in r.stdout.splitlines():
-                    if ln.startswith("SCALING_RESULT "):
-                        d = json.loads(ln[len("SCALING_RESULT "):])
-                        if best is None or d["seconds"] < best["seconds"]:
-                            best = d
-            return best
+        def one_run(c: int, gen_edges: int) -> dict | None:
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_SCALING_LEVEL=str(c),
+                SPARK_GRAFT_SCALE_EDGES=str(gen_edges),
+            )
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, env=env,
+            )
+            for ln in r.stdout.splitlines():
+                if ln.startswith("SCALING_RESULT "):
+                    return json.loads(ln[len("SCALING_RESULT "):])
+            return None
 
-        # strong scaling: identical job, N vs 4N cores
-        lo = level_run(n_low, base_edges)
-        hi = level_run(4 * n_low, base_edges)
-        # weak scaling: 4× data on 4× cores — per-job latency cancels,
-        # so this isolates whether THROUGHPUT scales with parallelism
-        # (the north rule's criterion is throughput efficiency)
-        hi_w = level_run(4 * n_low, 4 * base_edges)
+        # INTERLEAVED repeats, min per level: this host's throughput
+        # swings up to 5x on a scale of minutes (shared VM), so the two
+        # levels must be sampled adjacently — sequential blocks of
+        # repeats would compare different noise regimes and can report
+        # arbitrary efficiencies in either direction
+        configs = {
+            "lo": (n_low, base_edges),           # strong-scaling base
+            "hi": (4 * n_low, base_edges),       # 4N cores, same data
+            "hi_w": (4 * n_low, 4 * base_edges), # 4N cores, 4x data
+        }
+        best: dict = {}
+        for _ in range(repeats):
+            for name, (c, g) in configs.items():
+                d = one_run(c, g)
+                if d and (name not in best or d["seconds"] < best[name]["seconds"]):
+                    best[name] = d
+        lo, hi, hi_w = best["lo"], best["hi"], best["hi_w"]
         tp = lambda d: d["edges"] * d["iterations"] / d["seconds"]  # noqa: E731
         block = {
             f"local{n_low}": lo,
@@ -301,6 +380,11 @@ def main():
         if os.path.exists(spath):
             with open(spath) as f:
                 out["scaling"] = json.load(f)
+    bpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BIGDIST.json")
+    if os.path.exists(bpath) and "bigdist" not in out:
+        with open(bpath) as f:
+            out["bigdist"] = json.load(f)
     print(json.dumps(out))
 
 

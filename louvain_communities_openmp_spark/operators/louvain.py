@@ -385,6 +385,69 @@ def _block_sweep(
     return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
 
 
+def _cogroup_kernel_factory(rnd: int, gate: int, m: float, resolution: float):
+    """Kernel for the non-broadcast path: one (edge-block, state-block)
+    cogroup → annotate edges from the routed vertex state with numpy
+    searchsorted (the in-kernel equivalent of the five annotation
+    joins), apply frontier pruning, then the shared _block_sweep."""
+
+    def kernel(_key, epdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "id": pd.Series(dtype="int64"),
+                "com": pd.Series(dtype="Int64"),
+                "gain": pd.Series(dtype="float64"),
+                "vaff": pd.Series(dtype="bool"),
+            }
+        )
+        if len(epdf) == 0 or len(spdf) == 0:
+            return empty
+        sid = spdf["id"].to_numpy(dtype=np.int64)
+        o = np.argsort(sid, kind="stable")
+        sid_s = sid[o]
+        com = spdf["com"].to_numpy(dtype=np.int64)[o]
+        vt = spdf["vtot"].to_numpy(dtype=np.float64)[o]
+        ct = spdf["ctot"].to_numpy(dtype=np.float64)[o]
+        va = spdf["vaff"].to_numpy(dtype=bool)[o]
+        src = epdf["src"].to_numpy(dtype=np.int64)
+        dst = epdf["dst"].to_numpy(dtype=np.int64)
+        w = epdf["w"].to_numpy(dtype=np.float64)
+        si = np.searchsorted(sid_s, src)
+        di = np.searchsorted(sid_s, dst)
+        # routing covers every endpoint in the block by construction;
+        # fail loudly if the invariant ever breaks
+        if not (
+            bool(np.all(si < len(sid_s)))
+            and bool(np.all(sid_s[si] == src))
+            and bool(np.all(di < len(sid_s)))
+            and bool(np.all(sid_s[di] == dst))
+        ):
+            raise RuntimeError(
+                "louvain routing invariant violated: edge endpoint "
+                "missing from the block's routed vertex state"
+            )
+        keep = va[si]  # frontier pruning (vaff semantics, in-kernel)
+        if not bool(keep.any()):
+            return empty
+        pdf = pd.DataFrame(
+            {
+                "src": src[keep],
+                "dst": dst[keep],
+                "w": w[keep],
+                "dcom": com[di[keep]],
+                "scom": com[si[keep]],
+                "vtot_s": vt[si[keep]],
+                "ctot_d": ct[di[keep]],
+                "ctot_s": ct[si[keep]],
+            }
+        )
+        return _block_sweep(pdf, rnd, gate, m, resolution)
+
+    return kernel
+
+
 def _local_move_round(
     edges: DataFrame,
     membership: DataFrame,
@@ -397,6 +460,7 @@ def _local_move_round(
     frontier: DataFrame | None = None,
     broadcast: bool = True,
     num_blocks: int = 32,
+    routing: DataFrame | None = None,
 ):
     """One distributed local-move iteration → (state, Σ gains).
 
@@ -406,15 +470,21 @@ def _local_move_round(
     argmax sweep per block, emitting new communities AND next-round
     affected flags in one pass.
 
-    ``edges`` must carry a ``block`` column and be hash-partitioned on
-    it (the caller does this once per pass). With ``broadcast=True``
-    (membership/vtot/ctot fit in executor memory — always true after a
-    pass or two of coarsening, and up to tens of millions of vertices
-    before) every annotation join is a broadcast hash join, the edge
-    table never shuffles, and the groupBy(block) reuses the existing
-    partitioning: the whole iteration moves only the per-vertex
-    emissions. Above the threshold the same plan degrades to
-    co-partitioned shuffle joins.
+    With ``broadcast=True`` (membership/vtot/ctot fit in executor
+    memory — always true after a pass or two of coarsening, and up to
+    tens of millions of vertices before) every annotation join is a
+    broadcast hash join and the pre-bucketed edge table never shuffles:
+    the whole iteration moves only the per-vertex emissions.
+
+    With ``broadcast=False`` (the 100×-scale path) the edge table —
+    bucketed by ``block`` once per pass by the caller — STILL never
+    shuffles: vertex state (membership ⋈ vtot ⋈ ctot ⋈ frontier flag)
+    is routed to each block that references the vertex (``routing``,
+    built once per pass) and cogrouped against the static edge buckets;
+    the kernel reconstructs the per-edge annotation with searchsorted.
+    Per-iteration shuffle volume is O(V·r) (r = mean blocks per vertex)
+    instead of O(E) per join — the difference between a web-scale pass
+    being vertex-bound and edge-bound.
 
     Returned ``state`` is a single eagerly-checkpointed frame
     (id, com, vaff, gain) — the whole iteration is ONE Spark job (plus
@@ -423,28 +493,61 @@ def _local_move_round(
     job count, not data size, dominates latency on all but the largest
     graphs.
     """
-    bc = F.broadcast if broadcast else (lambda df: df)
-    md = bc(membership.select(F.col("id").alias("dst"), F.col("com").alias("dcom")))
-    ms = bc(membership.select(F.col("id").alias("src"), F.col("com").alias("scom")))
-    vt = bc(vtot.select(F.col("id").alias("src"), F.col("vtot").alias("vtot_s")))
-    ctd = bc(ctot.select(F.col("com").alias("dcom"), F.col("ctot").alias("ctot_d")))
-    cts = bc(ctot.select(F.col("com").alias("scom"), F.col("ctot").alias("ctot_s")))
-    if frontier is not None:
-        # affected-vertex pruning (vaff, louvain.hxx:534-539): only
-        # flagged vertices are re-scanned; the semi-join prunes their
-        # adjacency before the expensive annotation joins
-        edges = edges.join(
-            bc(frontier.withColumnRenamed("id", "src")), "src", "left_semi"
+    if not broadcast:
+        # scale path (vertex state too large to broadcast): the edge
+        # table was bucketed by block ONCE per pass and never moves
+        # again — each iteration ships only VERTEX-sized frames:
+        # membership⋈vtot⋈ctot assembled co-partitioned by id, ctot
+        # re-keyed by com (community-sized), then routed to the blocks
+        # that reference each vertex (the per-pass `routing` table).
+        # The cogroup kernel rebuilds the per-edge annotation with
+        # numpy searchsorted — the in-executor equivalent of the five
+        # annotation joins, at zero shuffle cost for the edges.
+        state_v = (
+            membership.join(vtot, "id")
+            .join(ctot, "com")
+            .select("id", "com", "vtot", "ctot")
         )
-    annotated = (
-        edges.join(md, "dst")
-        .join(ms, "src")
-        .join(vt, "src")
-        .join(ctd, "dcom")
-        .join(cts, "scom")
-    )
-
-    if broadcast:
+        if frontier is not None:
+            state_v = (
+                state_v.join(
+                    frontier.withColumn("_f", F.lit(True)), "id", "left"
+                )
+                .withColumn("vaff", F.coalesce("_f", F.lit(False)))
+                .drop("_f")
+            )
+        else:
+            state_v = state_v.withColumn("vaff", F.lit(True))
+        routed = state_v.join(routing, "id")
+        emitted = (
+            edges.groupby("block")
+            .cogroup(routed.groupby("block"))
+            .applyInPandas(
+                _cogroup_kernel_factory(rnd, gate, m, resolution),
+                _MOVE_SCHEMA,
+            )
+        )
+    else:
+        bc = F.broadcast
+        md = bc(membership.select(F.col("id").alias("dst"), F.col("com").alias("dcom")))
+        ms = bc(membership.select(F.col("id").alias("src"), F.col("com").alias("scom")))
+        vt = bc(vtot.select(F.col("id").alias("src"), F.col("vtot").alias("vtot_s")))
+        ctd = bc(ctot.select(F.col("com").alias("dcom"), F.col("ctot").alias("ctot_d")))
+        cts = bc(ctot.select(F.col("com").alias("scom"), F.col("ctot").alias("ctot_s")))
+        if frontier is not None:
+            # affected-vertex pruning (vaff, louvain.hxx:534-539): only
+            # flagged vertices are re-scanned; the semi-join prunes
+            # their adjacency before the expensive annotation joins
+            edges = edges.join(
+                bc(frontier.withColumnRenamed("id", "src")), "src", "left_semi"
+            )
+        annotated = (
+            edges.join(md, "dst")
+            .join(ms, "src")
+            .join(vt, "src")
+            .join(ctd, "dcom")
+            .join(cts, "scom")
+        )
         # broadcast joins preserve the edge table's partitioning AND
         # row order, so every src's full adjacency is contiguous in
         # its partition: mapInPandas with no group-by exchange, no
@@ -470,19 +573,6 @@ def _local_move_round(
             yield _block_sweep(pdf, rnd, gate, m, resolution)
 
         emitted = annotated.mapInPandas(run_block, _MOVE_SCHEMA)
-    else:
-        # shuffle-join path (vertex state too large to broadcast):
-        # joins break the block alignment, so re-group explicitly
-        emitted = (
-            annotated.withColumn(
-                "block", F.pmod(F.hash("src"), F.lit(num_blocks))
-            )
-            .groupBy("block")
-            .applyInPandas(
-                lambda _, p: _block_sweep(p, rnd, gate, m, resolution),
-                _MOVE_SCHEMA,
-            )
-        )
     # merge kernel emissions: authoritative com from the owning block
     # (max over exactly one non-null), vaff = any block flagged it
     agg = emitted.groupBy("id").agg(
@@ -695,23 +785,53 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         broadcast = gn <= opts.broadcast_vertices
         # partition + sort the edge table by kernel block ONCE per
         # pass (the analog of the reference's per-pass CSR rebuild,
-        # louvain.hxx:1174-1176): with broadcast state joins, no
-        # iteration ever shuffles or re-sorts it again
-        # hash srcs straight into partitions (one extra pmod layer
-        # would funnel 32 block values through murmur3 and leave ~⅓ of
-        # partitions empty — balls-in-bins)
-        edges_b = (
-            edges.repartition(blocks_pass, "src")
-            .sortWithinPartitions("src", "dst")
-            .persist()
-        )
-        edges_b.count()
+        # louvain.hxx:1174-1176): no iteration ever shuffles or
+        # re-sorts it again.
+        routing = None
+        if broadcast:
+            # hash srcs straight into partitions (one extra pmod layer
+            # would funnel 32 block values through murmur3 and leave
+            # ~⅓ of partitions empty — balls-in-bins)
+            edges_b = (
+                edges.repartition(blocks_pass, "src")
+                .sortWithinPartitions("src", "dst")
+                .persist()
+            )
+            edges_b.count()
+        else:
+            # scale path: explicit block column so the per-iteration
+            # cogroup can align routed vertex state with the static
+            # edge buckets. The routing table (vertex → blocks that
+            # reference it) is built once per pass; after this, an
+            # iteration moves only vertex-sized frames. (At this
+            # vertex count blocks_pass ≫ shuffle partitions, so the
+            # pmod→murmur3 balls-in-bins skew of a small block domain
+            # doesn't apply.)
+            edges_b = (
+                edges.withColumn(
+                    "block", F.pmod(F.hash("src"), F.lit(blocks_pass))
+                )
+                .repartition(blocks_pass, "block")
+                .sortWithinPartitions("src", "dst")
+                .persist()
+            )
+            edges_b.count()
+            # eager localCheckpoint rather than persist: it is re-read
+            # every iteration AND it truncates lineage back to edges_b
+            # (sharing lineage would make the per-iteration cogroup an
+            # ambiguous self-join on `block`)
+            routing = (
+                edges_b.select("block", F.col("src").alias("id"))
+                .unionByName(edges_b.select("block", F.col("dst").alias("id")))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
         while iters < opts.max_iterations:
             _t_it = time.time()
             state, el = _local_move_round(
                 edges_b, mem, vtot, ctot, m_total, opts.resolution,
                 rnd=iters, gate=gate, frontier=frontier, broadcast=broadcast,
-                num_blocks=blocks_pass,
+                num_blocks=blocks_pass, routing=routing,
             )
             # state is checkpointed: these are zero-cost projections
             mem = state.select("id", "com")

@@ -83,6 +83,17 @@ def vertices(edges: DataFrame) -> DataFrame:
     )
 
 
+def vertices_range(spark, n: int, vertex_pred=None) -> DataFrame:
+    """addVerticesIf analog: vertex frame spanning the dense id range
+    [0, n), optionally filtered by a predicate over the id Column.
+    → Graph.hxx addVerticesU / mtx.hxx:214 (the reference spans
+    1..rows from the header even for isolated vertices)."""
+    v = spark.range(n).select(F.col("id"))
+    if vertex_pred is not None:
+        v = v.where(vertex_pred(F.col("id")))
+    return v
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """Out-degree per vertex. → properties.hxx:52-55."""
     return edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("degree"))

@@ -1,0 +1,123 @@
+"""MatrixMarket (.mtx) graph ingest — the reference's own benchmark
+corpus format (reference: inc/mtx.hxx:119-249 readMtxW / main.sh:28-40).
+
+Semantics pinned to the reference:
+
+- header ``%%MatrixMarket matrix coordinate <field> <symmetry>``;
+  ``%`` comment lines; first non-comment line = ``rows cols nnz``
+  (mtx.hxx:125-141)
+- body lines ``u v [w]``, 1-indexed → converted to 0-indexed longs
+- default weight 1.0 when the field is ``pattern`` / weight column
+  absent / ``weighted=False`` (mtx.hxx:174-178: ``w? f: 1``)
+- ``symmetric`` header ⇒ every edge is mirrored; duplicate (src, dst)
+  keys collapse to one row (the reference's addEdge goes through a
+  LazyBitset where the last write wins — weights in .mtx duplicates are
+  equal, so collapse order is immaterial) (mtx.hxx:186-189)
+
+Plan shape: the tiny header is read driver-side; the body scan, parse,
+mirror and dedupe are all JVM-side DataFrame ops (S2/S3 parallel body
+scan). The size line is removed by exact text match — validated by
+comparing the parsed row count against the header's nnz, with a
+deterministic zipWithIndex fallback if a pathological edge line
+collides with the size line's text.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MtxGraph:
+    edges: DataFrame  # (src long, dst long, w double), 0-indexed
+    n_vertices: int   # header row count (includes isolated vertices)
+    n_entries: int    # header nnz (pre-mirror)
+    symmetric: bool
+    field: str        # real | integer | pattern | ...
+
+
+def _read_header(path: str) -> tuple[int, str, str, int, int, int, str]:
+    """Driver-side header scan → (n_header_lines, field, symmetry,
+    rows, cols, nnz, size_line_text)."""
+    with open(path, encoding="utf-8", errors="replace") as f:
+        first = f.readline()
+        if not first.startswith("%%MatrixMarket"):
+            raise ValueError(f"not a MatrixMarket file: {path!r}")
+        toks = first.split()
+        if len(toks) < 5 or toks[1].lower() != "matrix" or toks[2].lower() != "coordinate":
+            raise ValueError(f"unsupported MatrixMarket header: {first!r}")
+        field, sym = toks[3].lower(), toks[4].lower()
+        n_lines = 1
+        for line in f:
+            n_lines += 1
+            if line.startswith("%"):
+                continue
+            rows, cols, nnz = (int(x) for x in line.split()[:3])
+            return n_lines, field, sym, rows, cols, nnz, line.rstrip("\n")
+    raise ValueError(f"no size line found in {path!r}")
+
+
+def read_mtx(
+    spark: SparkSession,
+    path: str,
+    weighted: bool | None = None,
+    keep_self_loops: bool = True,
+) -> MtxGraph:
+    """Read a .mtx file into the engine's canonical edge table.
+
+    ``weighted=None`` follows the header field (real/integer weighted,
+    pattern unweighted); True/False forces it (the reference CLI's
+    ``weighted`` flag, main.cxx:100-105).
+    """
+    n_header, field, sym, rows, cols, nnz, size_line = _read_header(path)
+    symmetric = sym == "symmetric"
+    use_w = field in ("real", "integer") if weighted is None else weighted
+
+    body = (
+        spark.read.text(path)
+        .where(~F.col("value").startswith("%"))
+        .where(F.trim("value") != "")
+        .where(F.col("value") != size_line)
+    )
+    parts = F.split(F.trim("value"), r"\s+")
+    w_col = (
+        F.coalesce(parts.getItem(2).cast("double"), F.lit(1.0))
+        if use_w
+        else F.lit(1.0)
+    )
+    e = body.select(
+        (parts.getItem(0).cast("long") - 1).alias("src"),
+        (parts.getItem(1).cast("long") - 1).alias("dst"),
+        w_col.alias("w"),
+    )
+    n_parsed = e.count()
+    if n_parsed != nnz:
+        # an edge line textually equal to the size line was filtered too
+        # (or extra size-like lines exist): fall back to the exact
+        # line-indexed scan, which drops precisely the header lines
+        lines = spark.sparkContext.textFile(path).zipWithIndex()
+        bodyr = (
+            lines.filter(lambda t: t[1] >= n_header)
+            .map(lambda t: (t[0],))
+        )
+        body = spark.createDataFrame(bodyr, "value string").where(
+            F.trim("value") != ""
+        )
+        e = body.select(
+            (parts.getItem(0).cast("long") - 1).alias("src"),
+            (parts.getItem(1).cast("long") - 1).alias("dst"),
+            w_col.alias("w"),
+        )
+    if symmetric:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        ).dropDuplicates(["src", "dst"])
+    if not keep_self_loops:
+        e = e.where(F.col("src") != F.col("dst"))
+    return MtxGraph(
+        edges=e, n_vertices=rows, n_entries=nnz, symmetric=symmetric,
+        field=field,
+    )

@@ -115,6 +115,25 @@ def test_dist_powerlaw_quality(spark):
     assert res.modularity >= 0.9 * want.modularity
 
 
+def test_dist_fallback_matches_broadcast(spark):
+    """broadcast_vertices=0 forces the non-broadcast scale path
+    (per-pass edge bucketing + per-iteration vertex-state routing via
+    cogroup). Block assignment, gating and the in-block sweep are
+    identical to the broadcast path, so the membership must match
+    exactly."""
+    for fixture in (lambda: ring_of_cliques(8, 6), karate):
+        e = edges_from_list(spark, fixture())
+        a = louvain(e, LouvainOptions(mode="dist", num_blocks=4))
+        b = louvain(
+            e,
+            LouvainOptions(mode="dist", num_blocks=4, broadcast_vertices=0),
+        )
+        ma = sorted((r["id"], r["com"]) for r in a.membership.collect())
+        mb = sorted((r["id"], r["com"]) for r in b.membership.collect())
+        assert ma == mb
+        assert abs(a.modularity - b.modularity) < 1e-12
+
+
 def test_warm_start_oracle_converged_input(spark):
     """Seeding louvain_seq_fast with its own converged membership makes
     the next run converge immediately (louvainInitializeFromW)."""

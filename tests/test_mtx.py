@@ -1,0 +1,101 @@
+"""MTX ingest round-trips (reference: mtx.hxx:119-249, main.sh:28-40)."""
+
+import pytest
+
+from louvain_communities_openmp_spark.oracle import karate
+from louvain_communities_openmp_spark.sources.edges import edges_from_list
+from louvain_communities_openmp_spark.sources.mtx import read_mtx
+
+
+def _rows(df):
+    return sorted((r["src"], r["dst"], r["w"]) for r in df.collect())
+
+
+def test_mtx_symmetric_weighted(spark, tmp_path):
+    p = tmp_path / "g.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "% a comment\n"
+        "4 4 4\n"
+        "2 1 1.5\n"
+        "3 1 2.0\n"
+        "4 3 1.0\n"
+        "2 2 9.0\n"
+    )
+    g = read_mtx(spark, str(p))
+    assert g.n_vertices == 4 and g.n_entries == 4 and g.symmetric
+    want = edges_from_list(
+        spark,
+        [  # 0-indexed, mirrored, self-loop once
+            (1, 0, 1.5), (0, 1, 1.5),
+            (2, 0, 2.0), (0, 2, 2.0),
+            (3, 2, 1.0), (2, 3, 1.0),
+            (1, 1, 9.0),
+        ],
+    )
+    assert _rows(g.edges) == _rows(want)
+
+
+def test_mtx_general_pattern_default_weight(spark, tmp_path):
+    p = tmp_path / "g.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate pattern general\n"
+        "3 3 3\n"
+        "1 2\n"
+        "2 3\n"
+        "3 1\n"
+    )
+    g = read_mtx(spark, str(p))
+    assert not g.symmetric
+    assert _rows(g.edges) == [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)]
+
+
+def test_mtx_size_line_collision_fallback(spark, tmp_path):
+    """An edge line textually identical to the size line must survive
+    (exercises the zipWithIndex fallback)."""
+    p = tmp_path / "g.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate integer general\n"
+        "3 3 3\n"
+        "1 2 1\n"
+        "3 3 3\n"
+        "2 1 1\n"
+    )
+    g = read_mtx(spark, str(p))
+    assert _rows(g.edges) == [(0, 1, 1.0), (1, 0, 1.0), (2, 2, 3.0)]
+
+
+def test_mtx_forced_unweighted(spark, tmp_path):
+    p = tmp_path / "g.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real general\n"
+        "2 2 2\n"
+        "1 2 5.0\n"
+        "2 1 7.0\n"
+    )
+    g = read_mtx(spark, str(p), weighted=False)
+    assert _rows(g.edges) == [(0, 1, 1.0), (1, 0, 1.0)]
+
+
+def test_mtx_louvain_equals_edge_list(spark, tmp_path):
+    """End-to-end: karate shipped as .mtx (lower triangle, symmetric
+    header) must produce the same exact-mode Louvain membership as the
+    in-memory edge list — 'same input, same modularity'."""
+    from louvain_communities_openmp_spark.operators.louvain import louvain_exact
+
+    und = sorted({(max(u, v), min(u, v)) for u, v, _ in karate()})
+    p = tmp_path / "karate.mtx"
+    body = "".join(f"{u + 1} {v + 1}\n" for u, v in und)
+    p.write_text(
+        "%%MatrixMarket matrix coordinate pattern symmetric\n"
+        f"34 34 {len(und)}\n" + body
+    )
+    g = read_mtx(spark, str(p))
+    got = sorted(
+        (r["id"], r["com"]) for r in louvain_exact(g.edges).collect()
+    )
+    want = sorted(
+        (r["id"], r["com"])
+        for r in louvain_exact(edges_from_list(spark, karate())).collect()
+    )
+    assert got == want

@@ -77,3 +77,35 @@ def test_windowed_rates_batch_parity(spark):
     }
     assert got[("ins", "2025-01-01 00:00:00")] == 2
     assert got[("del", "2025-01-01 00:00:10")] == 1
+
+
+def test_dynamic_louvain_warm_start_over_versions(spark, tmp_path):
+    """DYNAMIC maintainer: v0 cold, v1 warm-started from v0's
+    membership; warm run takes no more iterations and lands at a sane
+    modularity (reference DYNAMIC semantics, louvain.hxx:305-389)."""
+    from louvain_communities_openmp_spark.oracle import ring_of_cliques
+    from louvain_communities_openmp_spark.streaming.dynamic_louvain import (
+        DynamicLouvain,
+    )
+
+    store = EdgeStateStore(spark, str(tmp_path / "state"))
+    e0 = edges_from_list(spark, ring_of_cliques(8, 6))
+    store.commit(e0, 0, {})
+    dl = DynamicLouvain(store)
+    v0, res0 = dl.update_to_latest()
+    assert v0 == 0 and res0.modularity > 0.5
+    # already current → no-op
+    assert dl.update_to_latest() is None
+
+    deltas = spark.createDataFrame(
+        [("ins", 0, 24, 1.0), ("del", 0, 1, 1.0)],
+        "op string, src long, dst long, w double",
+    )
+    apply_delta_batch(store, deltas, 1)
+    v1, res1 = dl.update_to_latest()
+    assert v1 == 1
+    assert res1.iterations <= res0.iterations
+    assert res1.modularity > 0.5
+    # membership snapshot persisted and loadable per version
+    m1 = dl.load_membership(1)
+    assert m1.count() == m1.select("id").distinct().count()
