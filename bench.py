@@ -141,6 +141,10 @@ def _louvain_pass0_throughput(cpus: int, sf_dir: str) -> dict:  # noqa: ARG001
     # flat wall time across core counts would otherwise mask scaling
     n_vertices = int(os.environ.get("SPARK_GRAFT_SCALE_VERTICES", "400000"))
     n_gen = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", "6000000"))
+    # finer blocks pack the wave schedule better on a noisy host (a
+    # straggler task wastes (cores-1)·overrun at the stage barrier);
+    # identical at every level so the logical work stays comparable
+    n_blocks = int(os.environ.get("SPARK_GRAFT_SCALE_BLOCKS", "32"))
     spark = get_spark(
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
@@ -153,14 +157,14 @@ def _louvain_pass0_throughput(cpus: int, sf_dir: str) -> dict:  # noqa: ARG001
         res = louvain(
             edges,
             # IDENTICAL logical work at every parallelism level: same
-            # 32 kernel blocks, same FIXED iteration count (tolerance 0
+            # kernel blocks, same FIXED iteration count (tolerance 0
             # disables early convergence — without it the 4x-data weak
             # run can converge in fewer iterations and the throughput
             # ratio compares unlike work) — only the core count varies,
             # so the wall-time ratio isolates scaling
             LouvainOptions(
                 mode="dist",
-                num_blocks=32,
+                num_blocks=n_blocks,
                 block_vertices=2048,
                 max_iterations=3,
                 max_passes=1,

@@ -12,14 +12,23 @@ DataFrame super-steps + a CSR-blocked vectorized kernel. Two modes:
   assignments exact vs the reference's sequential Louvain".
 
 - ``dist``: the scale mode (the analog of louvainMoveOmpW,
-  louvain.hxx:587-609). Each local-move iteration: annotate edges with
-  endpoint communities + weights via joins, hash-block by src, and run
-  an asynchronous sequential sweep *within each block* through
-  ``applyInPandas`` (block ≙ OpenMP thread chunk: threads read stale
-  remote state, exactly like `schedule(dynamic,2048)` threads do);
-  between iterations membership/ctot re-sync globally by shuffle
-  (shuffle ≙ the reference's atomics). Aggregation phase is a pure
-  DataFrame contraction: edges ⋈ membership(src) ⋈ membership(dst) →
+  louvain.hxx:587-609). The edge table is hash-bucketed by src once
+  per pass and never moves again; each local-move iteration runs an
+  asynchronous sequential sweep *within each block* (block ≙ OpenMP
+  thread chunk: threads read stale remote state, exactly like
+  `schedule(dynamic,2048)` threads do). Two state-distribution
+  strategies, switched on vertex count:
+  * V ≤ broadcast_vertices: driver-coordinated — membership/vtot/ctot
+    live as numpy arrays on the driver (≙ the reference's shared
+    arrays) and reach each task as one ~33 B/vertex broadcast per
+    round; an iteration is ONE zero-shuffle Spark job and an O(V)
+    numpy merge.
+  * larger: vertex state is routed to the blocks that reference it
+    and cogrouped against the static edge buckets — per-iteration
+    shuffle is vertex-sized, never edge-sized.
+  Between iterations membership/ctot re-sync globally (≙ the
+  reference's atomics). Aggregation phase is a pure DataFrame
+  contraction: edges ⋈ membership(src) ⋈ membership(dst) →
   groupBy(csrc,cdst).sum(w)   (louvain.hxx:865-912), dense renumber in
   ascending-community order (louvain.hxx:923-928), dendrogram flatten
   via one hash join per pass (louvain.hxx:825-829).
@@ -104,10 +113,25 @@ class LouvainResult:
 
 
 MEMBERSHIP_SCHEMA = "id long, com long"
-# kernel emission: one row per block-owned vertex (authoritative com)
-# plus rows flagging movers' neighbors (com null). vaff = affected flag
-# for the NEXT iteration (louvain.hxx:534-539 semantics).
+# kernel emission (cogroup path): one row per block-owned vertex
+# (authoritative com) plus rows flagging movers' neighbors (com null).
+# vaff = affected flag for the NEXT iteration (louvain.hxx:534-539).
 _MOVE_SCHEMA = "id long, com long, gain double, vaff boolean"
+# kernel emission (driver-coordinated path): owned rows as above
+# (com never null) plus ONE trailer row per block (id = -1) whose
+# ``ext`` blob packs the flagged non-owned vertex ids as little-endian
+# int64 bytes — movers flag O(E/B) cross-block neighbors per round,
+# and a single binary cell ships them without per-row Arrow overhead.
+_MOVE_SCHEMA_B = "id long, com long, gain double, vaff boolean, ext binary"
+
+_EMPTY_OWNED = pd.DataFrame(
+    {
+        "id": pd.Series(dtype="int64"),
+        "com": pd.Series(dtype="int64"),
+        "gain": pd.Series(dtype="float64"),
+        "vaff": pd.Series(dtype="bool"),
+    }
+)
 
 
 def _exact_kernel_factory(opts: LouvainOptions):
@@ -212,16 +236,8 @@ def _block_sweep(
     """
     import numpy as np
 
-    empty = pd.DataFrame(
-        {
-            "id": pd.Series(dtype="int64"),
-            "com": pd.Series(dtype="Int64"),
-            "gain": pd.Series(dtype="float64"),
-            "vaff": pd.Series(dtype="bool"),
-        }
-    )
     if len(pdf) == 0:
-        return empty
+        return _EMPTY_OWNED.copy(), np.empty(0, dtype=np.int64)
     src = pdf["src"].to_numpy(dtype=np.int64)
     # the caller pre-sorts each block by (src, dst) once per pass; only
     # group srcs contiguously if that invariant ever breaks
@@ -353,36 +369,21 @@ def _block_sweep(
     # processed vertices cleared unless re-flagged by a later mover
     # (vaff starts False for them); assemble emissions
     out_l = owned_l
-    out_id = ids[out_l]
-    out_com = cids[comm[out_l]]
-    out_gain = gain_by_u[out_l]
-    out_vaff = vaff[out_l]
-    frames = [
-        pd.DataFrame(
-            {
-                "id": pd.Series(out_id, dtype="int64"),
-                "com": pd.Series(out_com, dtype="Int64"),
-                "gain": pd.Series(out_gain, dtype="float64"),
-                "vaff": pd.Series(out_vaff, dtype="bool"),
-            }
-        )
-    ]
+    owned = pd.DataFrame(
+        {
+            "id": pd.Series(ids[out_l], dtype="int64"),
+            "com": pd.Series(cids[comm[out_l]], dtype="int64"),
+            "gain": pd.Series(gain_by_u[out_l], dtype="float64"),
+            "vaff": pd.Series(vaff[out_l], dtype="bool"),
+        }
+    )
     if any_moved:
         ext = vaff.copy()
         ext[owned_l] = False  # non-owned flagged vertices only
-        ext_l = np.flatnonzero(ext)
-        if len(ext_l):
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "id": pd.Series(ids[ext_l], dtype="int64"),
-                        "com": pd.Series([None] * len(ext_l), dtype="Int64"),
-                        "gain": pd.Series(np.zeros(len(ext_l)), dtype="float64"),
-                        "vaff": pd.Series(np.ones(len(ext_l), dtype=bool)),
-                    }
-                )
-            )
-    return pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+        ext_ids = ids[np.flatnonzero(ext)]
+    else:
+        ext_ids = np.empty(0, dtype=np.int64)
+    return owned, ext_ids
 
 
 def _cogroup_kernel_factory(rnd: int, gate: int, m: float, resolution: float):
@@ -394,14 +395,7 @@ def _cogroup_kernel_factory(rnd: int, gate: int, m: float, resolution: float):
     def kernel(_key, epdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        empty = pd.DataFrame(
-            {
-                "id": pd.Series(dtype="int64"),
-                "com": pd.Series(dtype="Int64"),
-                "gain": pd.Series(dtype="float64"),
-                "vaff": pd.Series(dtype="bool"),
-            }
-        )
+        empty = _EMPTY_OWNED.astype({"com": "Int64"})
         if len(epdf) == 0 or len(spdf) == 0:
             return empty
         sid = spdf["id"].to_numpy(dtype=np.int64)
@@ -443,9 +437,227 @@ def _cogroup_kernel_factory(rnd: int, gate: int, m: float, resolution: float):
                 "ctot_s": ct[si[keep]],
             }
         )
-        return _block_sweep(pdf, rnd, gate, m, resolution)
+        owned, ext_ids = _block_sweep(pdf, rnd, gate, m, resolution)
+        owned = owned.astype({"com": "Int64"})
+        if len(ext_ids) == 0:
+            return owned
+        extf = pd.DataFrame(
+            {
+                "id": pd.Series(ext_ids, dtype="int64"),
+                "com": pd.array([None] * len(ext_ids), dtype="Int64"),
+                "gain": pd.Series(np.zeros(len(ext_ids)), dtype="float64"),
+                "vaff": pd.Series(np.ones(len(ext_ids), dtype=bool)),
+            }
+        )
+        return pd.concat([owned, extf], ignore_index=True)
 
     return kernel
+
+
+def _bcast_state_kernel_factory(
+    bcs, bcv, rnd: int, gate: int, m: float, resolution: float
+):
+    """Kernel for the driver-coordinated path: annotate the partition's
+    static (src, dst, w) rows from the broadcast vertex-state arrays
+    with numpy searchsorted (the in-executor equivalent of the five
+    annotation joins), prune by the frontier flag, then the shared
+    ``_block_sweep``. Cross-block neighbor flags leave as one packed
+    binary trailer row (see ``_MOVE_SCHEMA_B``). ``bcs`` carries the
+    pass-static arrays (ids, vtot, community labels — broadcast once
+    per pass), ``bcv`` the per-round ones (com, vaff, ctot)."""
+
+    def kernel(batches):
+        import numpy as np
+
+        ids, vt_g, clab = bcs.value
+        com_g, vaff_g, ctot_g = bcv.value
+        chunks = list(batches)
+        if not chunks:
+            return
+        if len(chunks) == 1:
+            src = chunks[0]["src"].to_numpy(dtype=np.int64)
+            dst = chunks[0]["dst"].to_numpy(dtype=np.int64)
+            w = chunks[0]["w"].to_numpy(dtype=np.float64)
+        else:
+            # column-wise numpy concatenate (pd.concat of many
+            # Arrow-backed chunks is far slower than the memcpy)
+            src = np.concatenate([c["src"].to_numpy(dtype=np.int64) for c in chunks])
+            dst = np.concatenate([c["dst"].to_numpy(dtype=np.int64) for c in chunks])
+            w = np.concatenate([c["w"].to_numpy(dtype=np.float64) for c in chunks])
+        si = np.searchsorted(ids, src)
+        di = np.searchsorted(ids, dst)
+        keep = vaff_g[si]  # frontier pruning (vaff semantics, in-kernel)
+        if not bool(keep.any()):
+            return
+        sk, dk = si[keep], di[keep]
+        scom, dcom = com_g[sk], com_g[dk]
+        pdf = pd.DataFrame(
+            {
+                "src": src[keep],
+                "dst": dst[keep],
+                "w": w[keep],
+                "dcom": dcom,
+                "scom": scom,
+                "vtot_s": vt_g[sk],
+                "ctot_d": ctot_g[np.searchsorted(clab, dcom)],
+                "ctot_s": ctot_g[np.searchsorted(clab, scom)],
+            }
+        )
+        owned, ext_ids = _block_sweep(pdf, rnd, gate, m, resolution)
+        owned["ext"] = None
+        if len(ext_ids):
+            owned = pd.concat(
+                [
+                    owned,
+                    pd.DataFrame(
+                        {
+                            "id": pd.Series([-1], dtype="int64"),
+                            "com": pd.Series([-1], dtype="int64"),
+                            "gain": pd.Series([0.0], dtype="float64"),
+                            "vaff": pd.Series([False]),
+                            "ext": [ext_ids.astype("<i8").tobytes()],
+                        }
+                    ),
+                ],
+                ignore_index=True,
+            )
+        yield owned
+
+    return kernel
+
+
+def _driver_rounds(
+    spark,
+    edges_b: DataFrame,
+    vtot_pdf: pd.DataFrame,
+    initial_membership: DataFrame | None,
+    opts: LouvainOptions,
+    m_total: float,
+    E: float,
+    gate: int,
+    p: int,
+    dbg,
+):
+    """Local-move iterations with the vertex state held on the DRIVER
+    as numpy arrays — the Spark analog of the reference's shared
+    membership/vtot/ctot arrays (louvainMoveOmpW, louvain.hxx:587-609:
+    OpenMP threads read the shared arrays; here every task reads the
+    same broadcast snapshot).
+
+    One Spark job per iteration: the statically bucketed edge table
+    flows through the annotate+sweep kernel and only vertex-sized
+    emissions come back; membership/ctot/frontier merging is O(V)
+    numpy on the driver, not a shuffle. Compared with expressing the
+    same round as broadcast joins + groupBy merge + checkpoint + ctot
+    aggregation, this removes every per-iteration serial cost except
+    one broadcast (~33 B/vertex) and one vertex-sized collect — the
+    costs that otherwise cap N→4N scaling efficiency, because they do
+    not shrink with more cores.
+
+    Only used while V ≤ ``broadcast_vertices`` (default 5M ⇒ ~200 MB
+    of driver state — the same bound the broadcast-join formulation
+    had); above that the cogroup/routing path takes over and nothing
+    vertex-sized ever materializes on the driver.
+
+    Returns (membership DataFrame, iterations, Σ gains, #communities).
+    """
+    import numpy as np
+
+    order = np.argsort(vtot_pdf["id"].to_numpy(), kind="stable")
+    ids = vtot_pdf["id"].to_numpy(dtype=np.int64)[order]
+    vt = vtot_pdf["vtot"].to_numpy(dtype=np.float64)[order]
+    n = len(ids)
+    if initial_membership is not None:
+        # warm start (louvainInitializeFromW, louvain.hxx:305-318):
+        # provided membership, absent vertices as singletons; ctot is
+        # re-accumulated from the CURRENT vtot every round
+        # (louvainUpdateWeightsFromU semantics, louvain.hxx:330-389)
+        im = initial_membership.select("id", "com").toPandas()
+        iid = im["id"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(ids, iid)
+        ok = (pos < n) & (ids[np.minimum(pos, n - 1)] == iid)
+        com = ids.copy()
+        com[pos[ok]] = im["com"].to_numpy(dtype=np.int64)[ok]
+        clab = np.unique(np.concatenate([ids, com]))
+    else:
+        com = ids.copy()  # init singletons (louvain.hxx:621)
+        clab = ids
+    vaff = np.ones(n, dtype=bool)  # all marked (static fm)
+    iters = 0
+    low_rounds = stall_rounds = 0
+    prev_el = float("inf")
+    el_pass = 0.0
+    sc = spark.sparkContext
+    bcs = sc.broadcast((ids, vt, clab))  # pass-static arrays
+    while iters < opts.max_iterations:
+        _t_it = time.time()
+        # fresh ctot per round: deterministic ascending-id accumulation
+        # (bincount), so block-order float nondeterminism cannot leak
+        # into tie-breaks
+        ci = np.searchsorted(clab, com)
+        ctot = np.bincount(ci, weights=vt, minlength=len(clab))
+        _t_bc = time.time()
+        bcv = sc.broadcast((com, vaff, ctot))
+        _t_job = time.time()
+        em = edges_b.mapInPandas(
+            _bcast_state_kernel_factory(
+                bcs, bcv, iters, gate, m_total, opts.resolution
+            ),
+            _MOVE_SCHEMA_B,
+        ).toPandas()
+        _t_merge = time.time()
+        bcv.destroy()
+        trailer = em["id"].to_numpy() < 0
+        blobs = em["ext"].to_numpy()[trailer]
+        em = em[~trailer] if trailer.any() else em
+        oid = em["id"].to_numpy(dtype=np.int64)
+        # ownership invariant: each vertex's full out-adjacency lives
+        # in exactly one block (bucketing is by src), so exactly one
+        # block may emit an authoritative com — fail loudly if a plan
+        # change ever splits an adjacency across partitions
+        if len(oid) != len(np.unique(oid)):
+            raise RuntimeError(
+                "louvain block-ownership invariant violated: a vertex "
+                "received authoritative community emissions from more "
+                "than one block (adjacency split across partitions)"
+            )
+        com[np.searchsorted(ids, oid)] = em["com"].to_numpy(dtype=np.int64)
+        el = float(em["gain"].sum())
+        vaff = np.zeros(n, dtype=bool)
+        fl = oid[em["vaff"].to_numpy(dtype=bool)]
+        if len(fl):
+            vaff[np.searchsorted(ids, fl)] = True
+        if len(blobs):
+            ext = np.frombuffer(b"".join(blobs), dtype="<i8")
+            vaff[np.searchsorted(ids, ext)] = True
+        iters += 1
+        el_pass += el
+        if dbg:
+            print(
+                f"[louvain] pass={p} it={iters} {time.time() - _t_it:.1f}s "
+                f"(ctot {_t_bc - _t_it:.2f} bc {_t_job - _t_bc:.2f} "
+                f"job {_t_merge - _t_job:.2f} merge "
+                f"{time.time() - _t_merge:.2f}; em_rows {len(em)}) "
+                f"el={el:.5f} frontier={int(vaff.sum())}",
+                flush=True,
+            )
+        # gated rounds: require two consecutive below-tolerance rounds
+        # (each round only half the vertices may move); single-block
+        # sweeps use the reference's single check (louvain.hxx:541)
+        low_rounds = low_rounds + 1 if el <= E else 0
+        if low_rounds >= (1 if gate == 1 else 2) or el == 0.0:
+            break
+        # plateau break: gated synchronous rounds bottom out at a
+        # flip-flop noise floor above tiny tolerances
+        stall_rounds = stall_rounds + 1 if el > 0.95 * prev_el else 0
+        prev_el = el
+        if iters >= 3 and stall_rounds >= 2:
+            break
+    bcs.destroy()
+    mem = spark.createDataFrame(
+        pd.DataFrame({"id": ids, "com": com}), MEMBERSHIP_SCHEMA
+    )
+    return mem, iters, el_pass, int(len(np.unique(com)))
 
 
 def _local_move_round(
@@ -458,33 +670,22 @@ def _local_move_round(
     rnd: int = 0,
     gate: int = 1,
     frontier: DataFrame | None = None,
-    broadcast: bool = True,
-    num_blocks: int = 32,
     routing: DataFrame | None = None,
 ):
-    """One distributed local-move iteration → (state, Σ gains).
+    """One distributed local-move iteration → (state, Σ gains) — the
+    100×-scale (non-broadcast) path, for vertex counts too large to
+    hold on the driver.
 
     The cogroup/aggregate formulation of louvainScanCommunitiesW
-    (louvain.hxx:405-438): joins materialize (u, neighbor-community,
-    weight, snapshot ctot) tuples; the Arrow kernel does the sequential
-    argmax sweep per block, emitting new communities AND next-round
-    affected flags in one pass.
-
-    With ``broadcast=True`` (membership/vtot/ctot fit in executor
-    memory — always true after a pass or two of coarsening, and up to
-    tens of millions of vertices before) every annotation join is a
-    broadcast hash join and the pre-bucketed edge table never shuffles:
-    the whole iteration moves only the per-vertex emissions.
-
-    With ``broadcast=False`` (the 100×-scale path) the edge table —
-    bucketed by ``block`` once per pass by the caller — STILL never
-    shuffles: vertex state (membership ⋈ vtot ⋈ ctot ⋈ frontier flag)
-    is routed to each block that references the vertex (``routing``,
-    built once per pass) and cogrouped against the static edge buckets;
-    the kernel reconstructs the per-edge annotation with searchsorted.
-    Per-iteration shuffle volume is O(V·r) (r = mean blocks per vertex)
-    instead of O(E) per join — the difference between a web-scale pass
-    being vertex-bound and edge-bound.
+    (louvain.hxx:405-438). The edge table — bucketed by ``block`` once
+    per pass by the caller — never shuffles: vertex state (membership
+    ⋈ vtot ⋈ ctot ⋈ frontier flag) is routed to each block that
+    references the vertex (``routing``, built once per pass) and
+    cogrouped against the static edge buckets; the kernel reconstructs
+    the per-edge annotation with searchsorted. Per-iteration shuffle
+    volume is O(V·r) (r = mean blocks per vertex) instead of O(E) per
+    join — the difference between a web-scale pass being vertex-bound
+    and edge-bound.
 
     Returned ``state`` is a single eagerly-checkpointed frame
     (id, com, vaff, gain) — the whole iteration is ONE Spark job (plus
@@ -493,86 +694,36 @@ def _local_move_round(
     job count, not data size, dominates latency on all but the largest
     graphs.
     """
-    if not broadcast:
-        # scale path (vertex state too large to broadcast): the edge
-        # table was bucketed by block ONCE per pass and never moves
-        # again — each iteration ships only VERTEX-sized frames:
-        # membership⋈vtot⋈ctot assembled co-partitioned by id, ctot
-        # re-keyed by com (community-sized), then routed to the blocks
-        # that reference each vertex (the per-pass `routing` table).
-        # The cogroup kernel rebuilds the per-edge annotation with
-        # numpy searchsorted — the in-executor equivalent of the five
-        # annotation joins, at zero shuffle cost for the edges.
+    # each iteration ships only VERTEX-sized frames: membership⋈vtot⋈
+    # ctot assembled co-partitioned by id, ctot re-keyed by com
+    # (community-sized), then routed to the blocks that reference each
+    # vertex. The cogroup kernel rebuilds the per-edge annotation with
+    # numpy searchsorted — the in-executor equivalent of the five
+    # annotation joins, at zero shuffle cost for the edges.
+    state_v = (
+        membership.join(vtot, "id")
+        .join(ctot, "com")
+        .select("id", "com", "vtot", "ctot")
+    )
+    if frontier is not None:
         state_v = (
-            membership.join(vtot, "id")
-            .join(ctot, "com")
-            .select("id", "com", "vtot", "ctot")
-        )
-        if frontier is not None:
-            state_v = (
-                state_v.join(
-                    frontier.withColumn("_f", F.lit(True)), "id", "left"
-                )
-                .withColumn("vaff", F.coalesce("_f", F.lit(False)))
-                .drop("_f")
+            state_v.join(
+                frontier.withColumn("_f", F.lit(True)), "id", "left"
             )
-        else:
-            state_v = state_v.withColumn("vaff", F.lit(True))
-        routed = state_v.join(routing, "id")
-        emitted = (
-            edges.groupby("block")
-            .cogroup(routed.groupby("block"))
-            .applyInPandas(
-                _cogroup_kernel_factory(rnd, gate, m, resolution),
-                _MOVE_SCHEMA,
-            )
+            .withColumn("vaff", F.coalesce("_f", F.lit(False)))
+            .drop("_f")
         )
     else:
-        bc = F.broadcast
-        md = bc(membership.select(F.col("id").alias("dst"), F.col("com").alias("dcom")))
-        ms = bc(membership.select(F.col("id").alias("src"), F.col("com").alias("scom")))
-        vt = bc(vtot.select(F.col("id").alias("src"), F.col("vtot").alias("vtot_s")))
-        ctd = bc(ctot.select(F.col("com").alias("dcom"), F.col("ctot").alias("ctot_d")))
-        cts = bc(ctot.select(F.col("com").alias("scom"), F.col("ctot").alias("ctot_s")))
-        if frontier is not None:
-            # affected-vertex pruning (vaff, louvain.hxx:534-539): only
-            # flagged vertices are re-scanned; the semi-join prunes
-            # their adjacency before the expensive annotation joins
-            edges = edges.join(
-                bc(frontier.withColumnRenamed("id", "src")), "src", "left_semi"
-            )
-        annotated = (
-            edges.join(md, "dst")
-            .join(ms, "src")
-            .join(vt, "src")
-            .join(ctd, "dcom")
-            .join(cts, "scom")
+        state_v = state_v.withColumn("vaff", F.lit(True))
+    routed = state_v.join(routing, "id")
+    emitted = (
+        edges.groupby("block")
+        .cogroup(routed.groupby("block"))
+        .applyInPandas(
+            _cogroup_kernel_factory(rnd, gate, m, resolution),
+            _MOVE_SCHEMA,
         )
-        # broadcast joins preserve the edge table's partitioning AND
-        # row order, so every src's full adjacency is contiguous in
-        # its partition: mapInPandas with no group-by exchange, no
-        # per-iteration sort; constants travel in the closure instead
-        # of per-edge columns
-        def run_block(batches):
-            import numpy as np
-
-            chunks = list(batches)
-            if not chunks:
-                return
-            if len(chunks) == 1:
-                pdf = chunks[0]
-            else:
-                # column-wise numpy concatenate: pd.concat of many
-                # Arrow-backed chunks is ~50× slower than the memcpy
-                pdf = pd.DataFrame(
-                    {
-                        c: np.concatenate([ch[c].to_numpy() for ch in chunks])
-                        for c in chunks[0].columns
-                    }
-                )
-            yield _block_sweep(pdf, rnd, gate, m, resolution)
-
-        emitted = annotated.mapInPandas(run_block, _MOVE_SCHEMA)
+    )
     # merge kernel emissions: authoritative com from the owning block
     # (max over exactly one non-null), vaff = any block flagged it
     agg = emitted.groupBy("id").agg(
@@ -753,43 +904,27 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         t0 = time.time()
         vtot = vertex_weights(edges).persist()
         gn = vtot.count()
-        if p == 0 and opts.initial_membership is not None:
-            # warm start (louvainInitializeFromW): provided membership,
-            # absent vertices as singletons; ctot re-accumulated from
-            # the CURRENT vtot (louvainUpdateWeightsFromU)
-            mem = (
-                vtot.select("id")
-                .join(opts.initial_membership.select("id", "com"), "id", "left")
-                .select("id", F.coalesce("com", F.col("id")).alias("com"))
-                .localCheckpoint(eager=True)
-            )
-            ctot = (
-                vtot.join(mem, "id")
-                .groupBy("com")
-                .agg(F.sum("vtot").alias("ctot"))
-            )
-        else:
-            mem = vtot.select("id", F.col("id").alias("com")).localCheckpoint(eager=True)
-            ctot = vtot.select(F.col("id").alias("com"), F.col("vtot").alias("ctot"))
-        iters = 0
-        low_rounds = 0
-        stall_rounds = 0
-        prev_el = float("inf")
-        el_pass = 0.0
-        frontier: DataFrame | None = None  # None ≙ all marked (static fm)
         _dbg = os.environ.get("LOUVAIN_DEBUG_TIMING")
         # blocks sized by vertex count (reference chunk geometry);
         # a single block with gate=1 IS the sequential reference sweep
         blocks_pass = max(1, min(num_blocks, gn // opts.block_vertices or 1))
         gate = 1 if blocks_pass == 1 else 2
         broadcast = gn <= opts.broadcast_vertices
+        init_mem = (
+            opts.initial_membership
+            if (p == 0 and opts.initial_membership is not None)
+            else None
+        )
+        cn: int | None = None
         # partition + sort the edge table by kernel block ONCE per
         # pass (the analog of the reference's per-pass CSR rebuild,
         # louvain.hxx:1174-1176): no iteration ever shuffles or
         # re-sorts it again.
-        routing = None
         if broadcast:
-            # hash srcs straight into partitions (one extra pmod layer
+            # driver-coordinated rounds: vertex state lives on the
+            # driver (the analog of the reference's shared arrays) and
+            # reaches tasks as ONE broadcast per round; edges hash
+            # srcs straight into partitions (one extra pmod layer
             # would funnel 32 block values through murmur3 and leave
             # ~⅓ of partitions empty — balls-in-bins)
             edges_b = (
@@ -798,6 +933,11 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 .persist()
             )
             edges_b.count()
+            mem, iters, el_pass, cn = _driver_rounds(
+                spark, edges_b, vtot.toPandas(), init_mem, opts,
+                m_total, E, gate, p, _dbg,
+            )
+            mem = mem.persist()
         else:
             # scale path: explicit block column so the per-iteration
             # cogroup can align routed vertex state with the static
@@ -826,41 +966,65 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 .distinct()
                 .localCheckpoint(eager=True)
             )
-        while iters < opts.max_iterations:
-            _t_it = time.time()
-            state, el = _local_move_round(
-                edges_b, mem, vtot, ctot, m_total, opts.resolution,
-                rnd=iters, gate=gate, frontier=frontier, broadcast=broadcast,
-                num_blocks=blocks_pass, routing=routing,
-            )
-            # state is checkpointed: these are zero-cost projections
-            mem = state.select("id", "com")
-            frontier = state.where("vaff").select("id")
-            ctot = vtot.join(mem, "id").groupBy("com").agg(F.sum("vtot").alias("ctot"))
-            iters += 1
-            el_pass += el
-            if _dbg:
-                nf = state.where("vaff").count()
-                print(
-                    f"[louvain] pass={p} it={iters} {time.time() - _t_it:.1f}s "
-                    f"el={el:.5f} frontier={nf}",
-                    flush=True,
+            if init_mem is not None:
+                # warm start (louvainInitializeFromW): provided
+                # membership, absent vertices as singletons; ctot
+                # re-accumulated from the CURRENT vtot
+                # (louvainUpdateWeightsFromU)
+                mem = (
+                    vtot.select("id")
+                    .join(init_mem.select("id", "com"), "id", "left")
+                    .select("id", F.coalesce("com", F.col("id")).alias("com"))
+                    .localCheckpoint(eager=True)
                 )
-            # gated rounds: require two consecutive below-tolerance
-            # rounds (each round only half the vertices may move);
-            # single-block sweeps use the reference's single check
-            # (louvain.hxx:541)
-            low_rounds = low_rounds + 1 if el <= E else 0
-            if low_rounds >= (1 if gate == 1 else 2) or el == 0.0:
-                break
-            # plateau break: gated synchronous rounds bottom out at a
-            # flip-flop noise floor above tiny tolerances — once el
-            # stops decreasing (<5% improvement twice in a row), more
-            # rounds only burn time without modularity progress
-            stall_rounds = stall_rounds + 1 if el > 0.95 * prev_el else 0
-            prev_el = el
-            if iters >= 3 and stall_rounds >= 2:
-                break
+                ctot = (
+                    vtot.join(mem, "id")
+                    .groupBy("com")
+                    .agg(F.sum("vtot").alias("ctot"))
+                )
+            else:
+                mem = vtot.select("id", F.col("id").alias("com")).localCheckpoint(eager=True)
+                ctot = vtot.select(F.col("id").alias("com"), F.col("vtot").alias("ctot"))
+            iters = 0
+            low_rounds = 0
+            stall_rounds = 0
+            prev_el = float("inf")
+            el_pass = 0.0
+            frontier: DataFrame | None = None  # None ≙ all marked
+            while iters < opts.max_iterations:
+                _t_it = time.time()
+                state, el = _local_move_round(
+                    edges_b, mem, vtot, ctot, m_total, opts.resolution,
+                    rnd=iters, gate=gate, frontier=frontier, routing=routing,
+                )
+                # state is checkpointed: these are zero-cost projections
+                mem = state.select("id", "com")
+                frontier = state.where("vaff").select("id")
+                ctot = vtot.join(mem, "id").groupBy("com").agg(F.sum("vtot").alias("ctot"))
+                iters += 1
+                el_pass += el
+                if _dbg:
+                    nf = state.where("vaff").count()
+                    print(
+                        f"[louvain] pass={p} it={iters} {time.time() - _t_it:.1f}s "
+                        f"el={el:.5f} frontier={nf}",
+                        flush=True,
+                    )
+                # gated rounds: require two consecutive below-tolerance
+                # rounds (each round only half the vertices may move);
+                # single-block sweeps use the reference's single check
+                # (louvain.hxx:541)
+                low_rounds = low_rounds + 1 if el <= E else 0
+                if low_rounds >= (1 if gate == 1 else 2) or el == 0.0:
+                    break
+                # plateau break: gated synchronous rounds bottom out at
+                # a flip-flop noise floor above tiny tolerances — once
+                # el stops decreasing (<5% improvement twice in a row),
+                # more rounds only burn time without modularity progress
+                stall_rounds = stall_rounds + 1 if el > 0.95 * prev_el else 0
+                prev_el = el
+                if iters >= 3 and stall_rounds >= 2:
+                    break
         edges_b.unpersist()
         t_move = time.time() - t0
         total_iters += iters
@@ -873,7 +1037,8 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             final_mem = _compose(ucom, mem).persist()
             pass_log.append(rec)
             break
-        cn = mem.select("com").distinct().count()
+        if cn is None:
+            cn = mem.select("com").distinct().count()
         rec["communities"] = cn
         pass_log.append(rec)
         if cn / gn >= opts.aggregation_tolerance:

@@ -51,6 +51,18 @@ def pagerank(
         .persist()
     )
     trans.count()
+    # static marker of vertices WITH out-edges; dangling mass at t is
+    # then an aggregate over ranks_t alone — fused below into the same
+    # action as the error norm (one aggregate pass per iteration
+    # instead of a separate anti-join job, halving driver round-trips)
+    has_out = (
+        trans.select("src").distinct()
+        .withColumnRenamed("src", "id")
+        .withColumn("_h", F.lit(True))
+        .persist()
+    )
+    # dangling mass of the uniform start vector: (n − |src|)/n · 1/n
+    dangling = (n - has_out.count()) / n
     # eager localCheckpoint per round: truncates lineage and avoids the
     # unpersist-cascade recompute (see labelprop.py)
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
@@ -63,14 +75,6 @@ def pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
         )
-        # dangling mass: vertices with no out-edges (isolated verts)
-        dangling = (
-            ranks.join(trans.select("src").distinct(),
-                       ranks.id == F.col("src"), "left_anti")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
-        )
         base = (1.0 - alpha) / n + alpha * dangling / n
         new_ranks = (
             verts.join(contrib, "id", "left")
@@ -79,15 +83,23 @@ def pagerank(
                 (F.lit(base) + F.lit(alpha) * F.coalesce("c", F.lit(0.0))).alias("rank"),
             )
         ).localCheckpoint(eager=True)
-        err = (
+        row = (
             new_ranks.join(ranks.withColumnRenamed("rank", "old"), "id")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
-            .collect()[0][0]
-            or 0.0
+            .join(has_out, "id", "left")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("old"))).alias("err"),
+                F.sum(
+                    F.when(F.col("_h").isNull(), F.col("rank")).otherwise(0.0)
+                ).alias("dangling"),
+            )
+            .collect()[0]
         )
+        err = float(row["err"] or 0.0)
+        dangling = float(row["dangling"] or 0.0)
         ranks = new_ranks
         it += 1
     trans.unpersist()
+    has_out.unpersist()
     return PageRankResult(ranks, it, float(err))
 
 

@@ -103,3 +103,45 @@ def test_dist_nonbroadcast_path(spark):
     m = {r["id"]: r["com"] for r in res.membership.collect()}
     for q in range(8):
         assert len({m[q * 6 + i] for i in range(6)}) == 1, f"clique {q} split"
+
+
+def _dfs_seq(adj, src):
+    """Faithful transliteration of dfs.hxx:19-26: recursive preorder,
+    neighbors in (sorted) adjacency order."""
+    import sys
+
+    vis, order = set(), []
+    sys.setrecursionlimit(100000)
+
+    def go(u):
+        if u in vis:
+            return
+        vis.add(u)
+        order.append(u)
+        for v, _ in sorted(adj[u]):
+            go(v)
+
+    go(src)
+    return order
+
+
+def test_dfs_matches_reference_recursion(spark):
+    from louvain_communities_openmp_spark.operators.dfs import dfs_order
+
+    for el, src in ((ring_of_cliques(6, 5), 0), (karate(), 5)):
+        want = _dfs_seq(adjacency(el), src)
+        rows = sorted(
+            ((r["ord"], r["id"]) for r in dfs_order(edges_from_list(spark, el), src).collect())
+        )
+        got = [i for _, i in rows]
+        assert got == want
+
+
+def test_dfs_unreachable_and_missing_source(spark):
+    from louvain_communities_openmp_spark.operators.dfs import dfs_order
+
+    el = [(0, 1, 1.0), (1, 0, 1.0), (10, 11, 1.0), (11, 10, 1.0)]
+    e = edges_from_list(spark, el)
+    got = {r["id"]: r["ord"] for r in dfs_order(e, 0).collect()}
+    assert got == {0: 0, 1: 1}  # component {10,11} not visited
+    assert dfs_order(e, 99).count() == 0
