@@ -202,9 +202,31 @@ def _q_labelprop(spark, sf):
 
 
 def _q_louvain(spark, sf):
+    """Auto-mode Louvain, reported as a 1-row invariant frame so the
+    driver can oracle it (the full per-vertex membership is inherently
+    run-order-dependent in auto mode — its deterministic twin
+    ``g_louvain_exact`` pins the full frame instead):
+
+    - n_rows / n_distinct_ids / id_min / id_max must equal the edge
+      table's vertex stats (partition validity: every vertex exactly
+      once — SQL-derivable from the input);
+    - coms_dense: labels are dense 0..C-1 (louvainLookupCommunitiesU
+      renumber invariant, louvain.hxx:825-829);
+    - modularity_positive: converged Q > 0 on this clustered graph.
+    """
     e = coorder_edges(spark, sf).persist()
     res = louvain(e, LouvainOptions(mode="auto"))
-    return res.membership
+    return res.membership.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("id").alias("n_distinct_ids"),
+        F.min("id").alias("id_min"),
+        F.max("id").alias("id_max"),
+        (
+            (F.min("com") == F.lit(0))
+            & (F.max("com") == F.countDistinct("com") - F.lit(1))
+        ).alias("coms_dense"),
+        F.lit(bool(res.modularity > 0.0)).alias("modularity_positive"),
+    )
 
 
 def _q_louvain_exact(spark, sf):
@@ -984,7 +1006,10 @@ SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id 
         "g_disconnected_mod64": _disconnected_sql(),
         "g_community_degree_mod64": f"WITH {_EDGES_CTE.strip()},\n"
         "deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)\n"
-        "SELECT id % 64 AS com, sum(deg) AS total_degree FROM deg GROUP BY id % 64",
+        # CAST: DuckDB sum(BIGINT) widens to HUGEINT (→ float64 through the
+        # driver's arrow bridge); Spark's sum(bigint) stays bigint.
+        "SELECT id % 64 AS com, CAST(sum(deg) AS BIGINT) AS total_degree "
+        "FROM deg GROUP BY id % 64",
         "g_transpose_degrees": f"WITH {_EDGES_CTE.strip()},\n"
         """deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
 SELECT e.dst AS src, e.src AS dst, e.w,
@@ -1074,6 +1099,19 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 6) AS value_sum
 FROM events GROUP BY 1, 2""",
     }
+    # g_louvain (auto mode): oracle the SQL-derivable invariants — the
+    # vertex stats come from the input edge table; the dense-renumber
+    # and Q>0 flags are literal TRUE (the engine computes them from its
+    # own result, so any violation flips the Spark side to FALSE and
+    # hash-reds the row).
+    out["g_louvain"] = (
+        f"WITH {_EDGES_CTE.strip()},\n"
+        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)\n"
+        "SELECT count(*) AS n_rows, count(*) AS n_distinct_ids,\n"
+        "       min(id) AS id_min, max(id) AS id_max,\n"
+        "       TRUE AS coms_dense, TRUE AS modularity_positive\n"
+        "FROM v"
+    )
     lx = _louvain_exact_sql()
     if lx is not None:
         out["g_louvain_exact"] = lx

@@ -24,11 +24,15 @@ def _dfs_kernel_factory(source: int):
     def kernel(batches):
         import numpy as np
 
-        pdf = pd.concat(list(batches), ignore_index=True)
         out_schema = {
             "id": pd.Series(dtype="int64"),
             "ord": pd.Series(dtype="int64"),
         }
+        chunks = list(batches)
+        if not chunks:  # empty input ⇒ zero Arrow batches
+            yield pd.DataFrame(out_schema)
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         if len(pdf) == 0:
             yield pd.DataFrame(out_schema)
             return

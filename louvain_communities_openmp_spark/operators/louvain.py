@@ -756,9 +756,17 @@ def _driver_rounds(
         iid = im["id"].to_numpy(dtype=np.int64)
         pos = np.searchsorted(ids, iid)
         ok = (pos < n) & (ids[np.minimum(pos, n - 1)] == iid)
-        com = ids.copy()
-        com[pos[ok]] = im["com"].to_numpy(dtype=np.int64)[ok]
-        clab = np.unique(np.concatenate([ids, com]))
+        com = np.full(n, -1, dtype=np.int64)
+        prov = im["com"].to_numpy(dtype=np.int64)[ok]
+        com[pos[ok]] = prov
+        # absent vertices: FRESH singleton labels outside the provided
+        # range (mirrors the local-finish remap above; own-id labels
+        # would collide with dense-renumbered provided labels and
+        # silently merge the vertex into an unrelated community)
+        absent = com < 0
+        base = int(prov.max()) + 1 if len(prov) else 0
+        com[absent] = base + np.arange(int(absent.sum()), dtype=np.int64)
+        clab = np.unique(com)
     else:
         com = ids.copy()  # init singletons (louvain.hxx:621)
         clab = ids
@@ -782,84 +790,98 @@ def _driver_rounds(
         _write_block_cache(edges_b, cache_dir, bcs)
         # one block id per partition, aligned 1:1 with the cache files
         idx_df = spark.range(0, blocks_pass, 1, blocks_pass)
-    while iters < opts.max_iterations:
-        _t_it = time.time()
-        # fresh ctot per round: deterministic ascending-id accumulation
-        # (bincount), so block-order float nondeterminism cannot leak
-        # into tie-breaks
-        ci = np.searchsorted(clab, com)
-        ctot = np.bincount(ci, weights=vt, minlength=len(clab))
-        _t_bc = time.time()
-        bcv = sc.broadcast((com, vaff, ctot))
-        _t_job = time.time()
+    bcv = None
+    try:
+        while iters < opts.max_iterations:
+            _t_it = time.time()
+            # fresh ctot per round: deterministic ascending-id
+            # accumulation (bincount), so block-order float
+            # nondeterminism cannot leak into tie-breaks
+            ci = np.searchsorted(clab, com)
+            ctot = np.bincount(ci, weights=vt, minlength=len(clab))
+            _t_bc = time.time()
+            bcv = sc.broadcast((com, vaff, ctot))
+            _t_job = time.time()
+            if cache_dir is not None:
+                em = idx_df.mapInPandas(
+                    _file_state_kernel_factory(
+                        cache_dir, bcs, bcv, iters, gate, m_total, opts.resolution
+                    ),
+                    _MOVE_SCHEMA_B,
+                ).toPandas()
+            else:
+                em = edges_b.mapInPandas(
+                    _bcast_state_kernel_factory(
+                        bcs, bcv, iters, gate, m_total, opts.resolution
+                    ),
+                    _MOVE_SCHEMA_B,
+                ).toPandas()
+            _t_merge = time.time()
+            bcv.destroy()
+            eid = em["id"].to_numpy(dtype=np.int64)
+            owned_m = eid >= 0  # trailer rows carry id = -1 (ext blobs)
+            oid = eid[owned_m]
+            # ownership invariant: each vertex's full out-adjacency lives
+            # in exactly one block (bucketing is by src), so exactly one
+            # block may emit an authoritative com — fail loudly if a plan
+            # change ever splits an adjacency across partitions
+            if len(oid) != len(np.unique(oid)):
+                raise RuntimeError(
+                    "louvain block-ownership invariant violated: a vertex "
+                    "received authoritative community emissions from more "
+                    "than one block (adjacency split across partitions)"
+                )
+            com[np.searchsorted(ids, oid)] = em["com"].to_numpy(dtype=np.int64)[owned_m]
+            el = float(em["gain"].sum())
+            vaff = np.zeros(n, dtype=bool)
+            fl = oid[em["vaff"].to_numpy(dtype=bool)[owned_m]]
+            if len(fl):
+                vaff[np.searchsorted(ids, fl)] = True
+            if not owned_m.all():
+                blobs = em["ext"].to_numpy()[~owned_m]
+                ext = np.frombuffer(b"".join(blobs), dtype="<i8")
+                vaff[np.searchsorted(ids, ext)] = True
+            iters += 1
+            el_pass += el
+            round_times.append(round(time.time() - _t_it, 3))
+            if dbg:
+                print(
+                    f"[louvain] pass={p} it={iters} {time.time() - _t_it:.1f}s "
+                    f"(ctot {_t_bc - _t_it:.2f} bc {_t_job - _t_bc:.2f} "
+                    f"job {_t_merge - _t_job:.2f} merge "
+                    f"{time.time() - _t_merge:.2f}; em_rows {len(em)}) "
+                    f"el={el:.5f} frontier={int(vaff.sum())}",
+                    flush=True,
+                )
+            # gated rounds: require two consecutive below-tolerance rounds
+            # (each round only half the vertices may move); single-block
+            # sweeps use the reference's single check (louvain.hxx:541)
+            low_rounds = low_rounds + 1 if el <= E else 0
+            if low_rounds >= (1 if gate == 1 else 2) or el == 0.0:
+                break
+            # plateau break: gated synchronous rounds bottom out at a
+            # flip-flop noise floor above tiny tolerances
+            stall_rounds = stall_rounds + 1 if el > 0.95 * prev_el else 0
+            prev_el = el
+            if iters >= 3 and stall_rounds >= 2:
+                break
+    finally:
+        # cleanup on ALL paths (incl. ownership-invariant RuntimeError /
+        # task failures) — a mid-loop exception must not leak the temp
+        # block-cache dir or the broadcasts for the session's lifetime
+        if bcv is not None:
+            try:
+                bcv.destroy()
+            except Exception:
+                pass
+        try:
+            bcs.destroy()
+        except Exception:
+            pass
         if cache_dir is not None:
-            em = idx_df.mapInPandas(
-                _file_state_kernel_factory(
-                    cache_dir, bcs, bcv, iters, gate, m_total, opts.resolution
-                ),
-                _MOVE_SCHEMA_B,
-            ).toPandas()
-        else:
-            em = edges_b.mapInPandas(
-                _bcast_state_kernel_factory(
-                    bcs, bcv, iters, gate, m_total, opts.resolution
-                ),
-                _MOVE_SCHEMA_B,
-            ).toPandas()
-        _t_merge = time.time()
-        bcv.destroy()
-        eid = em["id"].to_numpy(dtype=np.int64)
-        owned_m = eid >= 0  # trailer rows carry id = -1 (ext blobs)
-        oid = eid[owned_m]
-        # ownership invariant: each vertex's full out-adjacency lives
-        # in exactly one block (bucketing is by src), so exactly one
-        # block may emit an authoritative com — fail loudly if a plan
-        # change ever splits an adjacency across partitions
-        if len(oid) != len(np.unique(oid)):
-            raise RuntimeError(
-                "louvain block-ownership invariant violated: a vertex "
-                "received authoritative community emissions from more "
-                "than one block (adjacency split across partitions)"
-            )
-        com[np.searchsorted(ids, oid)] = em["com"].to_numpy(dtype=np.int64)[owned_m]
-        el = float(em["gain"].sum())
-        vaff = np.zeros(n, dtype=bool)
-        fl = oid[em["vaff"].to_numpy(dtype=bool)[owned_m]]
-        if len(fl):
-            vaff[np.searchsorted(ids, fl)] = True
-        if not owned_m.all():
-            blobs = em["ext"].to_numpy()[~owned_m]
-            ext = np.frombuffer(b"".join(blobs), dtype="<i8")
-            vaff[np.searchsorted(ids, ext)] = True
-        iters += 1
-        el_pass += el
-        round_times.append(round(time.time() - _t_it, 3))
-        if dbg:
-            print(
-                f"[louvain] pass={p} it={iters} {time.time() - _t_it:.1f}s "
-                f"(ctot {_t_bc - _t_it:.2f} bc {_t_job - _t_bc:.2f} "
-                f"job {_t_merge - _t_job:.2f} merge "
-                f"{time.time() - _t_merge:.2f}; em_rows {len(em)}) "
-                f"el={el:.5f} frontier={int(vaff.sum())}",
-                flush=True,
-            )
-        # gated rounds: require two consecutive below-tolerance rounds
-        # (each round only half the vertices may move); single-block
-        # sweeps use the reference's single check (louvain.hxx:541)
-        low_rounds = low_rounds + 1 if el <= E else 0
-        if low_rounds >= (1 if gate == 1 else 2) or el == 0.0:
-            break
-        # plateau break: gated synchronous rounds bottom out at a
-        # flip-flop noise floor above tiny tolerances
-        stall_rounds = stall_rounds + 1 if el > 0.95 * prev_el else 0
-        prev_el = el
-        if iters >= 3 and stall_rounds >= 2:
-            break
-    bcs.destroy()
-    if cache_dir is not None:
-        import shutil
+            import shutil
 
-        shutil.rmtree(cache_dir, ignore_errors=True)
+            shutil.rmtree(cache_dir, ignore_errors=True)
     mem = spark.createDataFrame(
         pd.DataFrame({"id": ids, "com": com}), MEMBERSHIP_SCHEMA
     )
@@ -1059,9 +1081,20 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             import numpy as np
 
             t0 = time.time()
-            pdf = edges.select("src", "dst", "w").toPandas()
-            src_a = pdf["src"].to_numpy(dtype=np.int64)
-            dst_a = pdf["dst"].to_numpy(dtype=np.int64)
+            # distributed (src, dst, w) sort BEFORE the collect: the
+            # sequential kernel detects lex-sorted input and skips its
+            # own single-threaded O(E log E) lexsort — the sort runs on
+            # all cores instead. Arrow-direct collect (toArrow →
+            # zero-copy numpy columns) skips the pandas block-manager
+            # consolidation that costs seconds at ~2M rows.
+            tbl = (
+                edges.select("src", "dst", "w")
+                .orderBy("src", "dst", "w")
+                .toArrow()
+            )
+            src_a = tbl.column("src").to_numpy().astype(np.int64, copy=False)
+            dst_a = tbl.column("dst").to_numpy().astype(np.int64, copy=False)
+            w_arr = tbl.column("w").to_numpy().astype(np.float64, copy=False)
             ids = np.unique(np.concatenate([src_a, dst_a]))
             init_arr = None
             if p == 0 and opts.initial_membership is not None:
@@ -1082,7 +1115,7 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             r = louvain_seq_fast(
                 np.searchsorted(ids, src_a),
                 np.searchsorted(ids, dst_a),
-                pdf["w"].to_numpy(dtype=np.float64),
+                w_arr,
                 resolution=opts.resolution, tolerance=E,
                 tolerance_drop=opts.tolerance_drop,
                 max_iterations=opts.max_iterations,
@@ -1174,13 +1207,26 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             )
             if init_mem is not None:
                 # warm start (louvainInitializeFromW): provided
-                # membership, absent vertices as singletons; ctot
+                # membership; absent vertices get FRESH singleton
+                # labels base+id OUTSIDE the provided (dense 0..C-1)
+                # range — own-id labels would collide with provided
+                # labels and silently merge into unrelated communities.
+                # base+id is unique, zero-shuffle, and order-isomorphic
+                # to the driver path's base+arange, so tie-breaks
+                # ((maxΔQ, min c)) agree across modes. ctot is
                 # re-accumulated from the CURRENT vtot
                 # (louvainUpdateWeightsFromU)
+                mx = init_mem.agg(F.max("com").alias("m")).first()["m"]
+                base = int(mx) + 1 if mx is not None else 0
                 mem = (
                     vtot.select("id")
                     .join(init_mem.select("id", "com"), "id", "left")
-                    .select("id", F.coalesce("com", F.col("id")).alias("com"))
+                    .select(
+                        "id",
+                        F.coalesce(
+                            "com", F.col("id") + F.lit(base)
+                        ).alias("com"),
+                    )
                     .localCheckpoint(eager=True)
                 )
                 ctot = (

@@ -282,15 +282,36 @@ def louvain_seq_fast(
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     w = np.asarray(w, dtype=np.float64)
-    order = np.lexsort((dst, src))
-    src, dst, w = src[order], dst[order], w[order]
-    # collapse duplicate (src, dst) keys LAST-wins — the faithful port's
-    # adjacency() LazyBitset semantics (Graph.hxx addEdge overwrites);
-    # parallel edges would otherwise silently sum into utot/scan weights
+    # sort with w as the minor key so the max-w duplicate of each
+    # (src, dst) lands last: the collapse below is then ORDER-INDEPENDENT
+    # (callers reach here through repartition/concat paths whose row
+    # order is partition-arrival dependent; a stable "keep last input
+    # row" would make exact mode nondeterministic when duplicate keys
+    # carry unequal weights). Policy matches sources/mtx.py: max(w) —
+    # coincides with the reference's addEdge overwrite on its own
+    # equal-weight corpus (Graph.hxx LazyBitset).
     if len(src) > 1:
-        dup = (src[1:] == src[:-1]) & (dst[1:] == dst[:-1])
+        # skip the single-threaded O(E log E) lexsort when the caller
+        # already delivered (src, dst, w)-lex-sorted rows (the Spark
+        # local-finish path sorts distributed before collecting) — the
+        # check is three vectorized passes
+        eq_s = src[1:] == src[:-1]
+        eq_d = dst[1:] == dst[:-1]
+        presorted = bool(
+            (
+                (src[1:] > src[:-1])
+                | (eq_s & (dst[1:] > dst[:-1]))
+                | (eq_s & eq_d & (w[1:] >= w[:-1]))
+            ).all()
+        )
+        if not presorted:
+            order = np.lexsort((w, dst, src))
+            src, dst, w = src[order], dst[order], w[order]
+            eq_s = src[1:] == src[:-1]
+            eq_d = dst[1:] == dst[:-1]
+        dup = eq_s & eq_d
         if bool(dup.any()):
-            keep = np.r_[~dup, True]  # last occurrence of each key
+            keep = np.r_[~dup, True]  # max-w occurrence of each key
             src, dst, w = src[keep], dst[keep], w[keep]
     S = int(max(src.max(), dst.max())) + 1 if len(src) else 0
     if S == 0:

@@ -114,7 +114,14 @@ def read_mtx(
     if symmetric:
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
-        ).dropDuplicates(["src", "dst"])
+        )
+    # Collapse duplicate (src, dst) entries for ALL symmetries — the
+    # reference's addEdge (LazyBitset) keeps one weight per key for
+    # every format. File order is meaningless after a parallel scan, so
+    # the policy here is deterministic and order-independent: max(w)
+    # (for the reference's 0/1-weighted corpus all duplicates carry
+    # equal weight, where any policy coincides with last-write-wins).
+    e = e.groupBy("src", "dst").agg(F.max("w").alias("w"))
     if not keep_self_loops:
         e = e.where(F.col("src") != F.col("dst"))
     return MtxGraph(

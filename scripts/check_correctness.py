@@ -25,6 +25,17 @@ TABLES = (
 ).split()
 
 
+def _dtype_class(dt) -> str:
+    s = str(dt).lower()
+    if "float" in s or "double" in s:
+        return "float"
+    if "int" in s:
+        return "int"
+    if "bool" in s:
+        return "bool"
+    return "other"
+
+
 def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
     pdf = pdf.copy()
     for c in pdf.columns:
@@ -105,11 +116,25 @@ def main():
             print(f"{name}: ORACLE ERROR {type(e).__name__}: {e}")
             fails.append(name)
             continue
+        # dtype-class gate BEFORE canonicalization: the driver hashes raw
+        # values, so an int column on one side vs float on the other
+        # (e.g. DuckDB HUGEINT->float64) is a driver FAIL even when the
+        # int64-coerced values match (round-2 A7 escaped exactly this way)
+        dtype_ok = True
+        shared = set(sdf.columns) & set(odf.columns)
+        for c in sorted(shared):
+            ca, cb = _dtype_class(sdf[c].dtype), _dtype_class(odf[c].dtype)
+            if ca != cb:
+                print(
+                    f"{name}: DTYPE MISMATCH col {c!r}: "
+                    f"spark={sdf[c].dtype} oracle={odf[c].dtype}"
+                )
+                dtype_ok = False
         a, b = _canon(sdf), _canon(odf)
         rows = len(a) == len(b)
         schema = list(a.columns) == list(b.columns)
         vals = rows and schema and _values_equal(a, b)
-        status = "OK" if (rows and schema and vals) else "FAIL"
+        status = "OK" if (rows and schema and vals and dtype_ok) else "FAIL"
         print(
             f"{name}: {status} rows={len(a)}/{len(b)} schema={schema} "
             f"values={vals}"

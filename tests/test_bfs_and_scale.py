@@ -145,3 +145,12 @@ def test_dfs_unreachable_and_missing_source(spark):
     got = {r["id"]: r["ord"] for r in dfs_order(e, 0).collect()}
     assert got == {0: 0, 1: 1}  # component {10,11} not visited
     assert dfs_order(e, 99).count() == 0
+
+
+def test_dfs_empty_edge_table(spark):
+    """Regression (round-3 ADVICE): zero Arrow batches reach the kernel
+    on an empty edge table; pd.concat([]) raised before the len check."""
+    from louvain_communities_openmp_spark.operators.dfs import dfs_order
+
+    e = spark.createDataFrame([], "src long, dst long, w double")
+    assert dfs_order(e, 0).count() == 0

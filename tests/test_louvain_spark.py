@@ -222,3 +222,52 @@ def test_checkpoint_and_resume(spark, tmp_path):
         m3 = {r["id"]: r["com"] for r in res3.membership.collect()}
         assert len(m3) == 48
         assert res3.modularity >= 0.95 * res.modularity
+
+
+def test_warm_start_absent_vertex_label_collision(spark):
+    """Regression (round-3 ADVICE): warm-start membership is
+    dense-renumbered 0..C-1, so an absent LOW-ID vertex seeded with
+    com = its own id would collide with an existing community label
+    and silently merge two unrelated communities at init
+    (louvainInitializeFromW seeds absent vertices as SINGLETONS —
+    louvain.hxx:305-318 — which requires fresh labels).
+
+    K disconnected cliques; membership provided for cliques 1..K-1
+    with dense labels 0..K-2; clique 0 (lowest ids, colliding with
+    every provided label) absent. A correct init must recover exactly
+    K communities, none spanning two cliques."""
+    from louvain_communities_openmp_spark.oracle.graphs import undirected
+
+    K, c = 5, 6
+    pairs = [
+        (k * c + i, k * c + j)
+        for k in range(K)
+        for i in range(c)
+        for j in range(i + 1, c)
+    ]
+    e = edges_from_list(spark, undirected(pairs)).persist()
+    init = spark.createDataFrame(
+        [(k * c + i, k - 1) for k in range(1, K) for i in range(c)],
+        "id long, com long",
+    )
+    for opts in (
+        LouvainOptions(mode="dist", num_blocks=4, initial_membership=init),
+        LouvainOptions(
+            mode="dist",
+            num_blocks=4,
+            broadcast_vertices=0,  # force the cogroup scale-path init
+            initial_membership=init,
+        ),
+        LouvainOptions(mode="auto", initial_membership=init),
+    ):
+        res = louvain(e, opts)
+        mem = {r["id"]: r["com"] for r in res.membership.collect()}
+        assert len(mem) == K * c
+        # each clique lands in exactly one community, and no community
+        # spans two (disconnected) cliques
+        clique_coms = [
+            {mem[k * c + i] for i in range(c)} for k in range(K)
+        ]
+        assert all(len(s) == 1 for s in clique_coms), clique_coms
+        labels = [next(iter(s)) for s in clique_coms]
+        assert len(set(labels)) == K, labels
