@@ -208,7 +208,11 @@ def _louvain_pass0_throughput(cpus: int, sf_dir: str) -> dict:  # noqa: ARG001
         spark.stop()
 
 
-def _bigdist_run(broadcast_vertices: int) -> dict:
+def _bigdist_run(
+    broadcast_vertices: int,
+    n_vertices: int | None = None,
+    n_gen: int | None = None,
+) -> dict:
     """One dist-mode Louvain pass-0 on a ≥20M-directed-edge synthetic
     power-law graph, with the given broadcast threshold.
 
@@ -216,7 +220,10 @@ def _bigdist_run(broadcast_vertices: int) -> dict:
     edge bucketing + per-iteration vertex-state routing via cogroup) —
     the plan that runs at 100×-scale vertex counts. Compared against
     the broadcast path on the identical input to show the fallback is
-    vertex-bound, not edge-bound.
+    vertex-bound, not edge-bound. The parent runs a small DISCARDED
+    warm-up first: the first Louvain in a fresh JVM pays JIT +
+    page-cache costs (~1.6× per-iteration, measured) that would
+    otherwise be misattributed to whichever variant runs first.
     """
     from louvain_communities_openmp_spark.operators.louvain import (
         LouvainOptions,
@@ -228,8 +235,10 @@ def _bigdist_run(broadcast_vertices: int) -> dict:
     )
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_vertices = int(os.environ.get("SPARK_GRAFT_BIGDIST_VERTICES", "3000000"))
-    n_gen = int(os.environ.get("SPARK_GRAFT_BIGDIST_EDGES", "14000000"))
+    if n_vertices is None:
+        n_vertices = int(os.environ.get("SPARK_GRAFT_BIGDIST_VERTICES", "3000000"))
+    if n_gen is None:
+        n_gen = int(os.environ.get("SPARK_GRAFT_BIGDIST_EDGES", "14000000"))
     spark = get_spark(
         app_name=f"bigdist-{broadcast_vertices}",
         master=f"local[{cpus}]",
@@ -307,9 +316,24 @@ def main():
     if "--bigdist" in sys.argv:
         # standalone: prove the >broadcast_vertices fallback at >=20M
         # directed edges, vs the broadcast path on the identical input
+        _bigdist_run(0, n_vertices=200_000, n_gen=1_000_000)  # JIT warm-up
+        # INTERLEAVED min-of-k per variant (same protocol as --scaling):
+        # this host's throughput swings up to 5x minute-to-minute, and
+        # the shuffle-heavy fallback is the more exposed of the two, so
+        # adjacent sampling + min is the only honest comparator
+        k = max(1, int(os.environ.get("SPARK_GRAFT_BIGDIST_REPEATS", "2")))
+        best: dict = {}
+        for _ in range(k):
+            for name, bv in (("fallback", 0), ("broadcast", 1 << 40)):
+                d = _bigdist_run(bv)
+                if (
+                    name not in best
+                    or d["sec_per_iteration"] < best[name]["sec_per_iteration"]
+                ):
+                    best[name] = d
         block = {
-            "fallback": _bigdist_run(0),
-            "broadcast": _bigdist_run(1 << 40),
+            **best,
+            "repeats_interleaved_min": k,
             "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         bpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -474,12 +498,20 @@ def main():
             "detail": "SCALING.json",
         }
     bd = out.get("bigdist")
-    if bd:
+    if bd and "fallback" in bd and "broadcast" in bd:
         line["bigdist"] = {
-            k: bd[k]
-            for k in ("edges", "mode", "seconds", "modularity", "passes")
-            if k in bd
+            p: {
+                "sec_per_iteration": bd[p]["sec_per_iteration"],
+                "edges_per_sec": bd[p]["edges_per_sec"],
+            }
+            for p in ("fallback", "broadcast")
         }
+        line["bigdist"]["edges_directed"] = bd["fallback"]["edges_directed"]
+        line["bigdist"]["fallback_vs_broadcast"] = round(
+            bd["fallback"]["sec_per_iteration"]
+            / max(bd["broadcast"]["sec_per_iteration"], 1e-9),
+            2,
+        )
         line["bigdist"]["detail"] = "BIGDIST.json"
     line["detail"] = "BENCH_DETAIL.json"
     s = json.dumps(line)

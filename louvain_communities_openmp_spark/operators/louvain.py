@@ -449,63 +449,80 @@ def _cogroup_kernel_factory(rnd: int, gate: int, m: float, resolution: float):
     def kernel(_key, epdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        empty = _EMPTY_OWNED.astype({"com": "Int64"})
         if len(epdf) == 0 or len(spdf) == 0:
-            return empty
-        sid = spdf["id"].to_numpy(dtype=np.int64)
-        o = np.argsort(sid, kind="stable")
-        sid_s = sid[o]
-        com = spdf["com"].to_numpy(dtype=np.int64)[o]
-        vt = spdf["vtot"].to_numpy(dtype=np.float64)[o]
-        ct = spdf["ctot"].to_numpy(dtype=np.float64)[o]
-        va = spdf["vaff"].to_numpy(dtype=bool)[o]
-        src = epdf["src"].to_numpy(dtype=np.int64)
-        dst = epdf["dst"].to_numpy(dtype=np.int64)
-        w = epdf["w"].to_numpy(dtype=np.float64)
-        si = np.searchsorted(sid_s, src)
-        di = np.searchsorted(sid_s, dst)
-        # routing covers every endpoint in the block by construction;
-        # fail loudly if the invariant ever breaks
-        if not (
-            bool(np.all(si < len(sid_s)))
-            and bool(np.all(sid_s[si] == src))
-            and bool(np.all(di < len(sid_s)))
-            and bool(np.all(sid_s[di] == dst))
-        ):
-            raise RuntimeError(
-                "louvain routing invariant violated: edge endpoint "
-                "missing from the block's routed vertex state"
-            )
-        keep = va[si]  # frontier pruning (vaff semantics, in-kernel)
-        if not bool(keep.any()):
-            return empty
-        pdf = pd.DataFrame(
-            {
-                "src": src[keep],
-                "dst": dst[keep],
-                "w": w[keep],
-                "dcom": com[di[keep]],
-                "scom": com[si[keep]],
-                "vtot_s": vt[si[keep]],
-                "ctot_d": ct[di[keep]],
-                "ctot_s": ct[si[keep]],
-            }
+            return _EMPTY_OWNED.astype({"com": "Int64"})
+        return _state_edges_sweep(
+            epdf["src"].to_numpy(dtype=np.int64),
+            epdf["dst"].to_numpy(dtype=np.int64),
+            epdf["w"].to_numpy(dtype=np.float64),
+            spdf, rnd, gate, m, resolution,
         )
-        owned, ext_ids = _block_sweep(pdf, rnd, gate, m, resolution)
-        owned = owned.astype({"com": "Int64"})
-        if len(ext_ids) == 0:
-            return owned
-        extf = pd.DataFrame(
-            {
-                "id": pd.Series(ext_ids, dtype="int64"),
-                "com": pd.array([None] * len(ext_ids), dtype="Int64"),
-                "gain": pd.Series(np.zeros(len(ext_ids)), dtype="float64"),
-                "vaff": pd.Series(np.ones(len(ext_ids), dtype=bool)),
-            }
-        )
-        return pd.concat([owned, extf], ignore_index=True)
 
     return kernel
+
+
+def _state_edges_sweep(
+    src, dst, w, spdf: pd.DataFrame, rnd, gate, m, resolution
+) -> pd.DataFrame:
+    """Shared non-broadcast block body: annotate the block's static
+    (src, dst, w) arrays from the routed vertex state with numpy
+    searchsorted (the in-kernel equivalent of the five annotation
+    joins), apply frontier pruning, run the shared _block_sweep."""
+    import numpy as np
+
+    empty = _EMPTY_OWNED.astype({"com": "Int64"})
+    sid = spdf["id"].to_numpy(dtype=np.int64)
+    o = np.argsort(sid, kind="stable")
+    sid_s = sid[o]
+    com = spdf["com"].to_numpy(dtype=np.int64)[o]
+    vt = spdf["vtot"].to_numpy(dtype=np.float64)[o]
+    ct = spdf["ctot"].to_numpy(dtype=np.float64)[o]
+    va = spdf["vaff"].to_numpy(dtype=bool)[o]
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    w = np.asarray(w, dtype=np.float64)
+    si = np.searchsorted(sid_s, src)
+    di = np.searchsorted(sid_s, dst)
+    # routing covers every endpoint in the block by construction;
+    # fail loudly if the invariant ever breaks
+    if not (
+        bool(np.all(si < len(sid_s)))
+        and bool(np.all(sid_s[si] == src))
+        and bool(np.all(di < len(sid_s)))
+        and bool(np.all(sid_s[di] == dst))
+    ):
+        raise RuntimeError(
+            "louvain routing invariant violated: edge endpoint "
+            "missing from the block's routed vertex state"
+        )
+    keep = va[si]  # frontier pruning (vaff semantics, in-kernel)
+    if not bool(keep.any()):
+        return empty
+    pdf = pd.DataFrame(
+        {
+            "src": src[keep],
+            "dst": dst[keep],
+            "w": w[keep],
+            "dcom": com[di[keep]],
+            "scom": com[si[keep]],
+            "vtot_s": vt[si[keep]],
+            "ctot_d": ct[di[keep]],
+            "ctot_s": ct[si[keep]],
+        }
+    )
+    owned, ext_ids = _block_sweep(pdf, rnd, gate, m, resolution)
+    owned = owned.astype({"com": "Int64"})
+    if len(ext_ids) == 0:
+        return owned
+    extf = pd.DataFrame(
+        {
+            "id": pd.Series(ext_ids, dtype="int64"),
+            "com": pd.array([None] * len(ext_ids), dtype="Int64"),
+            "gain": pd.Series(np.zeros(len(ext_ids)), dtype="float64"),
+            "vaff": pd.Series(np.ones(len(ext_ids), dtype=bool)),
+        }
+    )
+    return pd.concat([owned, extf], ignore_index=True)
 
 
 def _annotate_and_sweep(
@@ -928,11 +945,12 @@ def _local_move_round(
     # vertex. The cogroup kernel rebuilds the per-edge annotation with
     # numpy searchsorted — the in-executor equivalent of the five
     # annotation joins, at zero shuffle cost for the edges.
-    state_v = (
-        membership.join(vtot, "id")
-        .join(ctot, "com")
-        .select("id", "com", "vtot", "ctot")
-    )
+    # id-keyed joins first (membership/vtot/frontier are co-partitioned
+    # by id from the previous round's checkpoint — no exchange), THEN
+    # the single re-key to com for ctot: joining ctot in the middle
+    # would ping-pong the frame id→com→id and add a vertex-sized
+    # exchange per iteration
+    state_v = membership.join(vtot, "id")
     if frontier is not None:
         state_v = (
             state_v.join(
@@ -943,6 +961,9 @@ def _local_move_round(
         )
     else:
         state_v = state_v.withColumn("vaff", F.lit(True))
+    state_v = state_v.join(ctot, "com").select(
+        "id", "com", "vtot", "ctot", "vaff"
+    )
     routed = state_v.join(routing, "id")
     emitted = (
         edges.groupby("block")
@@ -1199,10 +1220,18 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             # every iteration AND it truncates lineage back to edges_b
             # (sharing lineage would make the per-iteration cogroup an
             # ambiguous self-join on `block`)
+            # repartition("id") BEFORE the checkpoint: the per-iteration
+            # state⋈routing join is on id, and the checkpoint pins this
+            # partitioning — without it the (block,id)-partitioned
+            # distinct() output re-exchanges all V·r routing rows by id
+            # EVERY iteration; with it only the vertex-sized state side
+            # moves (the routing side is the big one: hubs appear in
+            # up to num_blocks blocks)
             routing = (
                 edges_b.select("block", F.col("src").alias("id"))
                 .unionByName(edges_b.select("block", F.col("dst").alias("id")))
                 .distinct()
+                .repartition("id")
                 .localCheckpoint(eager=True)
             )
             if init_mem is not None:
@@ -1248,7 +1277,8 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 _t_it = time.time()
                 state, el = _local_move_round(
                     edges_b, mem, vtot, ctot, m_total, opts.resolution,
-                    rnd=iters, gate=gate, frontier=frontier, routing=routing,
+                    rnd=iters, gate=gate, frontier=frontier,
+                    routing=routing,
                 )
                 # state is checkpointed: these are zero-cost projections
                 mem = state.select("id", "com")

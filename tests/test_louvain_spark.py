@@ -271,3 +271,4 @@ def test_warm_start_absent_vertex_label_collision(spark):
         assert all(len(s) == 1 for s in clique_coms), clique_coms
         labels = [next(iter(s)) for s in clique_coms]
         assert len(set(labels)) == K, labels
+
