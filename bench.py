@@ -284,14 +284,22 @@ def _membw_probe(workers: int = 8, n: int = 8_000_000) -> dict:
     solo on a noisy host)."""
     from concurrent.futures import ProcessPoolExecutor
 
-    with ProcessPoolExecutor(1) as ex:
-        solo = min(ex.map(_membw_task, [n] * 3))
+    # interleaved min-of-3 per level (same protocol as the scaling
+    # measurements): a single probe pass can sample different noise
+    # regimes per level and report inverted slowdowns on this host
+    solo = float("inf")
+    best: dict = {}
+    for _ in range(3):
+        with ProcessPoolExecutor(1) as ex:
+            solo = min(solo, min(ex.map(_membw_task, [n] * 2)))
+        for w in (4, workers):
+            with ProcessPoolExecutor(w) as ex:
+                ts = list(ex.map(_membw_task, [n] * w))
+            best[w] = min(best.get(w, float("inf")), max(ts))
     out = {"solo_sort_sec": round(solo, 2)}
     for w in (4, workers):
-        with ProcessPoolExecutor(w) as ex:
-            ts = list(ex.map(_membw_task, [n] * w))
-        out[f"per_task_at_{w}_workers_sec"] = round(max(ts), 2)
-        out[f"slowdown_at_{w}"] = round(max(ts) / solo, 2)
+        out[f"per_task_at_{w}_workers_sec"] = round(best[w], 2)
+        out[f"slowdown_at_{w}"] = round(best[w] / solo, 2)
     return out
 
 
