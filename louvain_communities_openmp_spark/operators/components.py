@@ -27,7 +27,16 @@ class ComponentsResult:
 def connected_components(
     edges: DataFrame, max_iter: int = 200
 ) -> ComponentsResult:
-    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).persist()
+    # partition the static edge table on its per-round JOIN KEY before
+    # caching: the per-round frontier join then exchanges only the
+    # vertex-sized frontier, never the edges (same pattern as the
+    # Louvain routing table)
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .repartition("src")
+        .persist()
+    )
     # eager localCheckpoint per round: truncates lineage and avoids the
     # unpersist-cascade recompute (see labelprop.py)
     comp = (

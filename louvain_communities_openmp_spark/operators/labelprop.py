@@ -30,7 +30,16 @@ class LabelPropResult:
 def label_propagation(
     edges: DataFrame, max_iter: int = 10
 ) -> LabelPropResult:
-    e = edges.select("src", "dst", "w").where(F.col("src") != F.col("dst")).persist()
+    # partition the static edge table on its per-round JOIN KEY before
+    # caching: the per-round labels join then exchanges only the
+    # vertex-sized labels frame, never the edges (same pattern as the
+    # Louvain routing table)
+    e = (
+        edges.select("src", "dst", "w")
+        .where(F.col("src") != F.col("dst"))
+        .repartition("dst")
+        .persist()
+    )
     # eager localCheckpoint per round: truncates lineage AND avoids the
     # unpersist-cascade (unpersisting a parent invalidates caches built
     # on it, which silently re-runs the whole chain on later rounds)
