@@ -45,9 +45,13 @@ def pagerank(
         return PageRankResult(spark.createDataFrame([], "id long, rank double"), 0, 0.0)
     vt = vertex_weights(edges)
     # normalized transition edges: src → dst with probability mass w/vtot
+    # partition the static transition table on its per-round JOIN KEY
+    # before caching: each iteration then exchanges only the
+    # vertex-sized ranks frame, never the edges (see labelprop.py)
     trans = (
         edges.join(vt.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.col("w") / F.col("vtot")).alias("p"))
+        .repartition("src")
         .persist()
     )
     trans.count()
@@ -116,6 +120,7 @@ def pagerank_fixed(
     trans = (
         edges.join(vt.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.col("w") / F.col("vtot")).alias("p"))
+        .repartition("src")
         .persist()
     )
     ranks = vt.select("id", F.lit(1.0 / n).alias("rank"))
