@@ -230,22 +230,35 @@ def _local_move_fast(indptr, indices, weights, vcom, ctot, vaff, vtot, M, R, L, 
 def _contract_fast(indptr, indices, weights, cur, CN):
     """Vectorized contraction preserving the reference's coarse-row
     insertion order (members ascending, adjacency order within member,
-    first-encounter order of destination communities)."""
+    first-encounter order of destination communities).
+
+    One stable lexsort by (cu, cv) replaces the previous
+    sort-by-(cu, member) + np.unique-over-composite-key double sort:
+    stability keeps ascending ORIGINAL position within each (cu, cv)
+    group, so (a) reduceat accumulates each group's weights in exactly
+    the order bincount did (bit-identical float sums), and (b) the
+    group's first element carries the minimum original position, which
+    reproduces the first-encounter row order (original CSR position
+    order == (member ascending, adjacency within member))."""
     import numpy as np
 
-    n = len(indptr) - 1
     deg = np.diff(indptr)
-    usrc = np.repeat(np.arange(n, dtype=np.int64), deg)
-    cu = cur[usrc]
+    cu = np.repeat(cur, deg)  # community of each edge's source
     cv = cur[indices]
-    order = np.lexsort((usrc, cu))  # stable: adjacency order kept
+    E = len(cv)
+    if E == 0:
+        return np.zeros(CN + 1, dtype=np.int64), cv, weights
+    order = np.lexsort((cv, cu))  # stable: ascending position in-group
     cu_s, cv_s, w_s = cu[order], cv[order], weights[order]
-    key = cu_s * CN + cv_s
-    uniq, first_idx, inv = np.unique(key, return_index=True, return_inverse=True)
-    sums = np.bincount(inv, weights=w_s)
-    g_cu = (uniq // CN).astype(np.int64)
-    g_cv = (uniq % CN).astype(np.int64)
-    g_order = np.lexsort((first_idx, g_cu))  # first-encounter within row
+    grp = np.empty(E, dtype=bool)
+    grp[0] = True
+    grp[1:] = (cu_s[1:] != cu_s[:-1]) | (cv_s[1:] != cv_s[:-1])
+    starts = np.flatnonzero(grp)
+    sums = np.add.reduceat(w_s, starts)
+    g_cu = cu_s[starts]
+    g_cv = cv_s[starts]
+    first_pos = order[starts]  # min original position of each group
+    g_order = np.lexsort((first_pos, g_cu))  # first-encounter within row
     g_cu, g_cv, sums = g_cu[g_order], g_cv[g_order], sums[g_order]
     new_indptr = np.zeros(CN + 1, dtype=np.int64)
     new_indptr[1:] = np.cumsum(np.bincount(g_cu, minlength=CN))
