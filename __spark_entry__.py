@@ -509,20 +509,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _simhash_sql() -> str:
+    # 64-bit twin of operators.dedup.simhash: hash = two md5 32-bit
+    # halves (non-negative, so the bit reads below never touch a signed
+    # shift); sketch bit 63's weight is -2^63, keeping the sum exact in
+    # signed-64 on both engines
+    def hbit(i: int) -> str:
+        return f"(h_lo >> {i})" if i < 32 else f"(h_hi >> {i - 32})"
+
     votes = ",\n    ".join(
-        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
-        for i in range(32)
+        f"sum(CASE WHEN {hbit(i)} & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
     )
-    sketch = " + ".join(
+    terms = [
         f"(CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END)"
-        for i in range(32)
+        for i in range(63)
+    ]
+    terms.append(
+        "(CASE WHEN b63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)"
     )
+    sketch = " + ".join(terms)
     return f"""
 WITH toks AS (
   SELECT doc_id AS doc, unnest({_toks('text')}) AS t
   FROM documents WHERE {_norm('text')} <> ''
 ), h AS (
-  SELECT doc, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS hv FROM toks
+  SELECT doc,
+    CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h_hi,
+    CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT) AS h_lo
+  FROM toks
 ), agg AS (
   SELECT doc, {votes} FROM h GROUP BY doc
 )
@@ -599,11 +613,19 @@ SELECT a, b, round(jr, 6) AS jaccard FROM scored WHERE jr >= {threshold} - 1e-12
 
 def _simhash_pairs_sql(max_hamming: int = 3) -> str:
     sketch = _simhash_sql().strip().rstrip()
+    # 4×16-bit blocks of the 64-bit sketch; the sketch can be negative,
+    # so block extraction lifts it to the unsigned domain in HUGEINT
+    # (checked exact — no engine-specific signed-shift semantics)
     return f"""
 WITH sh AS MATERIALIZED ({sketch}),
 blocks AS MATERIALIZED (
-  SELECT doc, simhash, b.b AS blk, (simhash >> (b.b * 8)) & 255 AS v
-  FROM sh, (VALUES (0), (1), (2), (3)) b(b)
+  SELECT doc, simhash, b.b AS blk,
+    CAST(((CAST(simhash AS HUGEINT)
+           + (CASE WHEN simhash < 0
+              THEN CAST('18446744073709551616' AS HUGEINT)
+              ELSE CAST(0 AS HUGEINT) END)) // b.d) % 65536 AS BIGINT) AS v
+  FROM sh, (VALUES (0, 1), (1, 65536), (2, 4294967296),
+                   (3, 281474976710656)) b(b, d)
 ),
 cand AS (
   SELECT DISTINCT x.doc AS a, y.doc AS b, x.simhash AS ha, y.simhash AS hb

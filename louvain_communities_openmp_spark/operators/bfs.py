@@ -36,6 +36,7 @@ def bfs(edges: DataFrame, sources: DataFrame | list, max_iter: int = 200) -> Bfs
     )
     frontier = visited
     it = 0
+    rounds_since_cp = 0
     while it < max_iter:
         nxt = (
             e.join(
@@ -50,7 +51,17 @@ def bfs(edges: DataFrame, sources: DataFrame | list, max_iter: int = 200) -> Bfs
         it += 1
         if n == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        # visited grows as a plain union of already-checkpointed
+        # frontier frames — re-checkpointing the WHOLE visited set every
+        # round would write O(V) per round (O(V·rounds) total on
+        # high-diameter graphs). The union chain is re-materialized only
+        # every k rounds to bound plan depth; reads cost the same either
+        # way (the anti-join scans V rows per round regardless).
+        visited = visited.unionByName(nxt)
+        rounds_since_cp += 1
+        if rounds_since_cp >= 8:
+            visited = visited.localCheckpoint(eager=True)
+            rounds_since_cp = 0
         frontier = nxt
     e.unpersist()
     return BfsResult(visited, it)

@@ -1,11 +1,24 @@
-"""Connected components: hash-min label propagation to fixpoint.
+"""Connected components: hash-min propagation + pointer jumping.
 
 comp(u) = min vertex id reachable from u — exact-match target vs
-oracle.simple.connected_components_seq. The frontier skeleton is the
-BFS analog of the reference's bfsVisitedForEachU (bfs.hxx:22-55): only
-vertices whose component label changed propagate next round, so late
-rounds touch a vanishing fraction of the graph (the same affected-set
-pruning idea as Louvain's vaff, louvain.hxx:534-539).
+oracle.simple.connected_components_seq. Each round does two label
+moves:
+
+1. hash-min over edges: comp(v) ← min(comp(v), min over frontier
+   in-neighbors u of comp(u)) — one edge⋈frontier join, edges
+   pre-partitioned on the join key so only the vertex-sized frontier
+   moves;
+2. pointer jump: comp(u) ← comp(comp(u)) — a vertex-sized self-join.
+   Labels are vertex ids, so comp(comp(u)) is always defined and
+   ≤ comp(u) (labels only decrease).
+
+Step 2 halves each vertex's label-distance to its component minimum,
+so convergence is O(log diameter) rounds instead of hash-min's
+O(diameter) — the difference between ~6 and ~25,000 rounds on a
+road-network graph (the reference corpus includes asia_osm/europe_osm,
+main.sh:35-36). The frontier skeleton is the BFS analog of the
+reference's bfsVisitedForEachU (bfs.hxx:22-55): only vertices whose
+label changed propagate next round.
 """
 
 from __future__ import annotations
@@ -48,18 +61,36 @@ def connected_components(
     frontier = comp
     it = 0
     while it < max_iter:
-        # candidate labels flowing over edges out of the frontier
+        # phase 1 — hash-min: candidate labels flowing over edges out
+        # of the frontier (vertex-sized exchange; edges stay put)
         cand = (
             e.join(frontier.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("new_comp"))
         )
-        merged = (
+        # checkpointed so the phase-2 self-join below reads it once
+        # instead of recomputing the edge join on both sides
+        m1 = (
             comp.join(cand, "id", "left")
             .select(
                 "id",
-                F.least(F.col("comp"), F.coalesce("new_comp", F.col("comp"))).alias("comp"),
-                (F.coalesce("new_comp", F.lit(2**62)) < F.col("comp")).alias("changed"),
+                F.col("comp").alias("old"),
+                F.least(
+                    F.col("comp"), F.coalesce("new_comp", F.col("comp"))
+                ).alias("c1"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # phase 2 — pointer jump: comp(u) ← comp(comp(u)). Labels are
+        # vertex ids, so the lookup always resolves; labels only ever
+        # decrease, so coalesce+direct assignment is the full least().
+        lut = m1.select(F.col("id").alias("c1"), F.col("c1").alias("_c2"))
+        merged = (
+            m1.join(lut, "c1", "left")
+            .select(
+                "id",
+                F.coalesce("_c2", "c1").alias("comp"),
+                (F.coalesce("_c2", "c1") < F.col("old")).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )

@@ -232,10 +232,22 @@ def minhash_lsh_pairs(
 
 
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 32) -> DataFrame:
-    """32-bit SimHash: per token, hash to 32 bits (md5 prefix); each bit
-    votes ±1 weighted by token frequency; sketch bit = sign of the sum.
-    Output (doc, simhash long)."""
+            bits: int = 64) -> DataFrame:
+    """SimHash sketch (default 64-bit): per token, hash to `bits` bits
+    (md5 prefix); each bit votes ±1 weighted by token frequency; sketch
+    bit = sign of the sum. Output (doc, simhash long).
+
+    64-bit default: the pairs join below buckets on sketch blocks, and
+    expected bucket size is N / 2^block_bits — at corpus scale
+    (10^10+ docs) a 32-bit sketch's 8-bit blocks (N/256 per bucket) go
+    quadratic in the within-bucket verify, while 64/16 keeps buckets at
+    N/65536. The 64-bit hash is assembled from two md5 32-bit halves
+    with exact signed arithmetic (identical expression in the DuckDB
+    oracle twin — no shift-semantics dependence), and bit votes read
+    the non-negative halves directly.
+    """
+    if bits not in (32, 64):
+        raise ValueError("simhash: bits must be 32 or 64")
     toks = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -245,33 +257,58 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             )
         ).alias("t"),
     ).where(F.col("t") != "")
-    h = toks.withColumn(
-        "hv", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
-    )
+    if bits == 32:
+        h = toks.withColumn(
+            "h_lo", F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+        ).withColumn("h_hi", F.lit(0).cast("long"))
+    else:
+        md = F.md5("t")
+        h = toks.withColumn(
+            "h_hi", F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+        ).withColumn(
+            "h_lo", F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+        )
+    # bit i of the hash, read from the non-negative 32-bit halves so no
+    # engine-specific signed-shift behavior is involved
+    def _hbit(i: int):
+        col, off = ("h_lo", 0) if i < 32 else ("h_hi", 32)
+        return F.shiftright(F.col(col), i - off).bitwiseAND(F.lit(1))
+
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.when(_hbit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(bits)
     ]
     agg = h.groupBy("doc").agg(*votes)
     sketch = None
     for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(2**i).cast("long")
+        one = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        # bit 63 carries the sign in two's complement: its weight is
+        # -2^63, keeping the sum inside signed-64 range exactly
+        weight = -(2**63) if i == 63 else 2**i
+        term = one * F.lit(weight).cast("long")
         sketch = term if sketch is None else sketch + term
     return agg.select("doc", sketch.alias("simhash"))
 
 
 def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3, bits: int = 64) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidate generation by 4-byte block (pigeonhole: distance ≤ 3 ⇒
-    at least one of 4 8-bit blocks equal) — block-equality bucket join,
-    then exact popcount verify.
+    Candidate generation by pigeonhole block (distance ≤ 3 ⇒ at least
+    one of 4 equal blocks) — block-equality bucket join, then exact
+    popcount verify. 64-bit sketches use 4×16-bit blocks: expected
+    bucket size N/65536 instead of the 32-bit mode's N/256, which is
+    what keeps the within-bucket pairwise verify sub-quadratic at
+    10^10+ documents.
     """
-    s = simhash(docs, text_col, id_col).persist()
+    block_bits = 16 if bits == 64 else 8
+    mask = (1 << block_bits) - 1
+    s = simhash(docs, text_col, id_col, bits=bits).persist()
+    # arithmetic shiftright + mask extracts the block exactly even for
+    # negative sketches: the low block_bits of floor(x/2^k) match the
+    # logical shift's in two's complement
     blocks = s.select(
         "doc",
         "simhash",
@@ -279,7 +316,9 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
             F.array(*[
                 F.struct(
                     F.lit(b).alias("blk"),
-                    F.shiftright("simhash", b * 8).bitwiseAND(F.lit(255)).alias("v"),
+                    F.shiftright("simhash", b * block_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("v"),
                 )
                 for b in range(4)
             ])

@@ -1245,7 +1245,17 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 # ((maxΔQ, min c)) agree across modes. ctot is
                 # re-accumulated from the CURRENT vtot
                 # (louvainUpdateWeightsFromU)
-                mx = init_mem.agg(F.max("com").alias("m")).first()["m"]
+                # base from init_mem rows MATCHED to the graph's vertex
+                # set — the driver path derives its base from matched
+                # rows only, so computing it over ALL provided rows here
+                # would make fresh labels value-divergent across modes
+                # whenever init_mem mentions vertices absent from the
+                # graph (order-isomorphism held, value parity did not)
+                mx = (
+                    init_mem.join(vtot.select("id"), "id")
+                    .agg(F.max("com").alias("m"))
+                    .first()["m"]
+                )
                 base = int(mx) + 1 if mx is not None else 0
                 mem = (
                     vtot.select("id")

@@ -123,10 +123,21 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH sketch within
     `probe_hamming` bits of the query's sketch, re-ranked by exact
-    cosine. The bucket join replaces the cross join — at N docs and B
-    buckets the candidate set shrinks ~N/2^planes per probe, which is
-    what makes top-k tractable at corpus scale.
+    cosine.
+
+    Multi-probe as an EQUI-join: each query row explodes into the
+    C(planes,0..probe_hamming) XOR masks of popcount ≤ probe_hamming
+    (79 rows at 12 planes / h=2), probe sketch = qsk ^ mask, and the
+    candidate side joins on csk = probe sketch. ``csk within hamming h
+    of qsk`` ⟺ ``csk = qsk ^ m for exactly one mask m`` (m = csk^qsk
+    is unique), so the result set is identical to the predicate form —
+    but the plan is a broadcast HASH join, not a nested-loop join. The
+    predicate form evaluates Q popcounts per candidate row (O(N·Q) —
+    fine at Q=10, quadratic at a production ANN workload with Q ~ N);
+    the equi-join is O(N + Q·79) hash lookups and survives large Q.
     """
+    from itertools import combinations
+
     dim = _dim_of(embeddings, vec_col)
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
@@ -135,9 +146,21 @@ def cosine_topk_lsh(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn("qsk", lsh_sketch(F.col("qv"), planes, dim))
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for r in range(1, probe_hamming + 1)
+        for bits in combinations(range(planes), r)
+    ]
+    qx = q.withColumn(
+        "psk",
+        F.explode(
+            F.array(*[
+                F.col("qsk").bitwiseXOR(F.lit(m).cast("long")) for m in masks
+            ])
+        ),
+    )
     pairs = (
-        c.join(F.broadcast(q),
-               F.bit_count(F.col("csk").bitwiseXOR(F.col("qsk"))) <= probe_hamming)
+        c.join(F.broadcast(qx), F.col("csk") == F.col("psk"))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

@@ -84,3 +84,17 @@ def test_triangles_exact(spark):
         got = {r["id"]: r["triangles"] for r in res.per_vertex.collect()}
         assert got == {i: c for i, c in enumerate(per_want)}
         assert res.total == tot_want
+
+
+def test_components_path_graph_log_rounds(spark):
+    # path 0-1-...-127: hash-min alone needs ~127 rounds to carry the
+    # minimum to the far end; the pointer-jump phase must bring
+    # convergence down to O(log n) rounds (components.py two-phase)
+    n = 128
+    path = [(i, i + 1, 1.0) for i in range(n - 1)]
+    path += [(v, u, w) for u, v, w in list(path)]
+    res = connected_components(edges_from_list(spark, path))
+    got = {r["id"]: r["comp"] for r in res.components.collect()}
+    assert len(got) == n
+    assert set(got.values()) == {0}
+    assert res.iterations <= 14, res.iterations  # log2(128)=7, +slack

@@ -167,3 +167,51 @@ def test_real_decoder_is_gated(spark):
 
     with pytest.raises(NotImplementedError):
         DECODERS["real"](b"\xff\xd8\xff")
+
+
+def test_simhash_block_width_scales(spark):
+    # 64-bit sketches with 16-bit blocks must spread docs over far more
+    # candidate buckets than the 32-bit/8-bit mode — the property that
+    # keeps simhash_pairs' within-bucket pairwise verify sub-quadratic
+    # at corpus scale (expected occupancy N/65536 vs N/256)
+    n = 8000
+    rows = [
+        (
+            i,
+            " ".join(
+                f"w{(i * 2654435761 + j * 40503) % 99991}" for j in range(12)
+            ),
+        )
+        for i in range(n)
+    ]
+    big = spark.createDataFrame(rows, "doc_id long, text string")
+    s64 = [r["simhash"] for r in simhash(big, bits=64).collect()]
+    s32 = [r["simhash"] for r in simhash(big, bits=32).collect()]
+    assert len(s64) == n and len(s32) == n
+    from collections import Counter
+
+    c8 = Counter(
+        (b, (v >> (8 * b)) & 255) for v in s32 for b in range(4)
+    )
+    c16 = Counter(
+        (b, ((v + (1 << 64 if v < 0 else 0)) >> (16 * b)) & 65535)
+        for v in s64
+        for b in range(4)
+    )
+    # bucket-count blow-up ⇒ mean occupancy collapse
+    assert len(c16) >= 10 * len(c8), (len(c16), len(c8))
+    mean8 = 4 * n / len(c8)
+    mean16 = 4 * n / len(c16)
+    assert mean8 >= 10 * mean16, (mean8, mean16)
+
+
+def test_lsh_topk_plans_as_equijoin(spark):
+    # the multi-probe rewrite must plan as a broadcast HASH join on the
+    # probe sketch — the predicate formulation planned a
+    # BroadcastNestedLoopJoin (O(N·Q) popcounts)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(3)
+    df = cosine_topk_lsh(emb, queries, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
