@@ -210,21 +210,68 @@ def _q_louvain(spark, sf):
     - n_rows / n_distinct_ids / id_min / id_max must equal the edge
       table's vertex stats (partition validity: every vertex exactly
       once — SQL-derivable from the input);
+    - n_components: the ENGINE's connected-components count vs the
+      oracle's recursive-SQL count — a true cross-engine VALUE, so the
+      row is anchored to more than self-certified flags;
     - coms_dense: labels are dense 0..C-1 (louvainLookupCommunitiesU
       renumber invariant, louvain.hxx:825-829);
+    - coms_ge_components: Louvain never moves a vertex into a
+      community it has no edge to (chooseCommunity scans neighbor
+      communities only, louvain.hxx:449-470), so communities nest
+      inside components ⇒ C ≥ #components — a wrong-but-valid-looking
+      partition that merged across components flips this to FALSE;
+    - q_engine_matches_recomputed: the engine's reported modularity vs
+      Q recomputed HERE from (membership ⋈ edges) with a plain
+      aggregation — catches a miscomputed Q even when the membership
+      itself is unverifiable (auto mode is run-order-dependent);
     - modularity_positive: converged Q > 0 on this clustered graph.
     """
+    from louvain_communities_openmp_spark.operators.properties import (
+        total_weight_m,
+    )
+
     e = coorder_edges(spark, sf).persist()
     res = louvain(e, LouvainOptions(mode="auto"))
-    return res.membership.agg(
+    mem = res.membership
+    m = total_weight_m(e)
+    ms = mem.select(F.col("id").alias("src"), F.col("com").alias("csrc"))
+    md = mem.select(F.col("id").alias("dst"), F.col("com").alias("cdst"))
+    per = (
+        e.join(ms, "src")
+        .join(md, "dst")
+        .groupBy("csrc")
+        .agg(
+            F.sum(
+                F.when(F.col("csrc") == F.col("cdst"), F.col("w")).otherwise(
+                    0.0
+                )
+            ).alias("cin"),
+            F.sum("w").alias("ctot"),
+        )
+    )
+    q_rec = per.agg(
+        F.sum(
+            F.col("cin") / (2.0 * m) - F.pow(F.col("ctot") / (2.0 * m), 2.0)
+        ).alias("q")
+    ).first()["q"]
+    n_components = (
+        connected_components(e).components.select("comp").distinct().count()
+    )
+    n_coms = mem.select("com").distinct().count()
+    return mem.agg(
         F.count("*").alias("n_rows"),
         F.countDistinct("id").alias("n_distinct_ids"),
         F.min("id").alias("id_min"),
         F.max("id").alias("id_max"),
+        F.lit(int(n_components)).cast("long").alias("n_components"),
         (
             (F.min("com") == F.lit(0))
             & (F.max("com") == F.countDistinct("com") - F.lit(1))
         ).alias("coms_dense"),
+        F.lit(bool(n_coms >= n_components)).alias("coms_ge_components"),
+        F.lit(bool(abs(res.modularity - float(q_rec)) <= 1e-9)).alias(
+            "q_engine_matches_recomputed"
+        ),
         F.lit(bool(res.modularity > 0.0)).alias("modularity_positive"),
     )
 
@@ -1122,16 +1169,23 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2""",
     }
     # g_louvain (auto mode): oracle the SQL-derivable invariants — the
-    # vertex stats come from the input edge table; the dense-renumber
-    # and Q>0 flags are literal TRUE (the engine computes them from its
-    # own result, so any violation flips the Spark side to FALSE and
-    # hash-reds the row).
+    # vertex stats come from the input edge table; n_components is the
+    # oracle's OWN recursive-SQL component count (cross-engine value,
+    # not a flag); the remaining flags are literal TRUE, flipped to
+    # FALSE on the Spark side if the partition merges across components
+    # (coms_ge_components), the renumber breaks (coms_dense), or the
+    # engine's reported Q disagrees with a from-membership
+    # recomputation (q_engine_matches_recomputed).
     out["g_louvain"] = (
         f"WITH {_EDGES_CTE.strip()},\n"
         "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)\n"
         "SELECT count(*) AS n_rows, count(*) AS n_distinct_ids,\n"
         "       min(id) AS id_min, max(id) AS id_max,\n"
-        "       TRUE AS coms_dense, TRUE AS modularity_positive\n"
+        "       (SELECT count(DISTINCT comp) FROM "
+        f"({_components_sql()})) AS n_components,\n"
+        "       TRUE AS coms_dense, TRUE AS coms_ge_components,\n"
+        "       TRUE AS q_engine_matches_recomputed,\n"
+        "       TRUE AS modularity_positive\n"
         "FROM v"
     )
     lx = _louvain_exact_sql()

@@ -243,7 +243,11 @@ def _bigdist_run(
         app_name=f"bigdist-{broadcast_vertices}",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        # UI on for this session only: the shuffle probe reads
+        # per-stage shuffle bytes from the UI REST API
+        extra_conf={"spark.ui.enabled": "true"},
     )
+    os.environ["LOUVAIN_SHUFFLE_PROBE"] = "1"
     try:
         edges = synthetic_powerlaw_edges(spark, n_vertices, n_gen).persist()
         n = edges.count()
@@ -261,7 +265,7 @@ def _bigdist_run(
         )
         res.membership.count()
         dt = time.time() - t0
-        return {
+        out = {
             "path": "fallback" if broadcast_vertices == 0 else "broadcast",
             "edges_directed": n,
             "vertices": n_vertices,
@@ -271,7 +275,28 @@ def _bigdist_run(
             "iterations": res.iterations,
             "modularity": round(res.modularity, 6),
         }
+        # per-iteration shuffle volume vs one-time pass setup: the
+        # design claim is per-iteration exchange = routed vertex state
+        # O(V·r), while setup (edge bucketing) is O(E) — at 100× scale
+        # the iteration loop must NOT be edge-bound (louvain.py
+        # _local_move_round docstring)
+        probe = next(
+            (r.get("shuffle_probe") for r in res.pass_log
+             if r.get("shuffle_probe")), None,
+        )
+        if probe:
+            rb = probe.get("round_bytes") or []
+            n_it = sum(r.get("iters", 1) for r in rb) or 1
+            mb = lambda x: round(x / 1e6, 1)  # noqa: E731
+            su = probe.get("setup_bytes") or (0, 0)
+            out["shuffle_setup_mb"] = {"read": mb(su[0]), "write": mb(su[1])}
+            out["shuffle_per_iteration_mb"] = {
+                "read": mb(sum(r["read"] for r in rb) / n_it),
+                "write": mb(sum(r["write"] for r in rb) / n_it),
+            }
+        return out
     finally:
+        os.environ.pop("LOUVAIN_SHUFFLE_PROBE", None)
         spark.stop()
 
 

@@ -83,6 +83,13 @@ class LouvainOptions:
     # reference's representation swap between passes
     # (louvain.hxx:1174-1176). Pass 0 of any at-scale graph stays
     # distributed; only the contracted tail collapses inward.
+    # Threshold picked by measurement (scripts/sweep_small_graph.py,
+    # sf0.1, interleaved min-of-2): 2M → 19.6s total louvain
+    # (local_finish 10.5s); 1M/500k/200k → 26-37s, because the
+    # coarsened pass-1 graph (1.96M edges over only ~4.7k vertices)
+    # yields ≤2 kernel blocks — distributed rounds there run nearly
+    # serial WITH per-round job latency, strictly worse than the
+    # vectorized driver kernel. Lowering this is a loss, not a win.
     small_graph_edges: int = 2_000_000
     # broadcast membership/vtot/ctot into the annotation joins while
     # the vertex count is at most this (~20 bytes/row ⇒ ≲100 MB
@@ -1038,6 +1045,38 @@ def _contract(edges: DataFrame, membership: DataFrame) -> DataFrame:
     )
 
 
+def _shuffle_totals(spark) -> tuple[int, int]:
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all
+    completed stages, read from the local UI REST API.
+
+    Evidence hook for the scale claim in _local_move_round: sampling
+    this before/after an iteration measures the iteration's actual
+    exchange volume, proving per-iteration shuffle is O(V·r)
+    (vertex-sized routed state), not O(E) (the bucketed edges), at
+    BIGDIST scale. Returns (0, 0) when the UI is disabled (the default
+    session config) or unreachable — callers gate on
+    LOUVAIN_SHUFFLE_PROBE and enable the UI for probe runs.
+    """
+    import json as _json
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return (0, 0)
+    try:
+        with urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=5) as f:
+            app_id = _json.load(f)[0]["id"]
+        url = f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=15) as f:
+            stages = _json.load(f)
+        return (
+            sum(int(s.get("shuffleReadBytes", 0)) for s in stages),
+            sum(int(s.get("shuffleWriteBytes", 0)) for s in stages),
+        )
+    except Exception:
+        return (0, 0)
+
+
 def _compose(ucom: DataFrame | None, mem: DataFrame) -> DataFrame:
     """ucom ∘ mem: re-point original vertices through the current level
     (dendrogram flatten, louvain.hxx:825-829). ucom=None ≡ identity."""
@@ -1165,6 +1204,12 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         vtot = vertex_weights(edges).persist()
         gn = vtot.count()
         _dbg = os.environ.get("LOUVAIN_DEBUG_TIMING")
+        # evidence probe (see _shuffle_totals): per-pass setup vs
+        # per-iteration shuffle volume, recorded into pass_log
+        _probe = os.environ.get("LOUVAIN_SHUFFLE_PROBE")
+        _sh0 = _shuffle_totals(spark) if _probe else (0, 0)
+        shuffle_setup: tuple | None = None
+        shuffle_rounds: list = []
         # blocks sized by vertex count (reference chunk geometry);
         # a single block with gate=1 IS the sequential reference sweep
         blocks_pass = max(1, min(num_blocks, gn // opts.block_vertices or 1))
@@ -1193,11 +1238,24 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 .persist()
             )
             edges_b.count()
+            if _probe:
+                _s1 = _shuffle_totals(spark)
+                shuffle_setup = (_s1[0] - _sh0[0], _s1[1] - _sh0[1])
+                _sh0 = _s1
             mem, iters, el_pass, cn, round_times = _driver_rounds(
                 spark, edges_b, vtot.toPandas(), init_mem, opts,
                 m_total, E, gate, p, _dbg, blocks_pass=blocks_pass,
             )
             mem = mem.persist()
+            if _probe:
+                # driver-coordinated rounds are zero-shuffle by design:
+                # one total across ALL iterations, expected ≈ 0
+                _s1 = _shuffle_totals(spark)
+                shuffle_rounds.append(
+                    {"iters": iters, "read": _s1[0] - _sh0[0],
+                     "write": _s1[1] - _sh0[1]}
+                )
+                _sh0 = _s1
         else:
             # scale path: explicit block column so the per-iteration
             # cogroup can align routed vertex state with the static
@@ -1283,6 +1341,12 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             el_pass = 0.0
             round_times = []
             frontier: DataFrame | None = None  # None ≙ all marked
+            if _probe:
+                # setup = edge bucketing + routing build (edge-sized,
+                # once per pass); everything after is per-iteration
+                _s1 = _shuffle_totals(spark)
+                shuffle_setup = (_s1[0] - _sh0[0], _s1[1] - _sh0[1])
+                _sh0 = _s1
             while iters < opts.max_iterations:
                 _t_it = time.time()
                 state, el = _local_move_round(
@@ -1297,6 +1361,12 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 iters += 1
                 el_pass += el
                 round_times.append(round(time.time() - _t_it, 3))
+                if _probe:
+                    _s1 = _shuffle_totals(spark)
+                    shuffle_rounds.append(
+                        {"read": _s1[0] - _sh0[0], "write": _s1[1] - _sh0[1]}
+                    )
+                    _sh0 = _s1
                 if _dbg:
                     nf = state.where("vaff").count()
                     print(
@@ -1328,6 +1398,11 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                # main.cxx:70-76); t_move additionally includes the
                # one-time pass setup (bucketing ≙ CSR rebuild, vtot)
                "t_rounds": round_times}
+        if _probe:
+            rec["shuffle_probe"] = {
+                "setup_bytes": shuffle_setup,
+                "round_bytes": shuffle_rounds,
+            }
         p += 1
         # pass made essentially no progress → stop (reference's m≤1,
         # louvain.hxx:1186, adapted to gated rounds)

@@ -196,9 +196,23 @@ def _local_move_fast(indptr, indices, weights, vcom, ctot, vaff, vtot, M, R, L, 
             vaff[u] = 0
             if len(ncs) == 0:
                 continue
-            uniq, first_idx, inv = np.unique(
-                ncs, return_index=True, return_inverse=True
-            )
+            # exact replica of np.unique(return_index, return_inverse)
+            # with ~30% less per-call overhead (this loop runs once per
+            # affected vertex per iteration — tens of thousands of
+            # times on a dense coarse graph): stable argsort ⇒ first
+            # occurrence per group; inverse scattered back so bincount
+            # accumulates the k_uc sums in ORIGINAL adjacency order —
+            # bit-identical floats to the slow oracle's dict walk
+            o = np.argsort(ncs, kind="stable")
+            sn = ncs[o]
+            grp = np.empty(len(sn), dtype=bool)
+            grp[0] = True
+            np.not_equal(sn[1:], sn[:-1], out=grp[1:])
+            starts = np.flatnonzero(grp)
+            uniq = sn[starts]
+            first_idx = o[starts]
+            inv = np.empty(len(sn), dtype=np.int64)
+            inv[o] = np.cumsum(grp) - 1
             sums = np.bincount(inv, weights=ws[mask])
             ins = np.argsort(first_idx, kind="stable")  # insertion order
             cs = uniq[ins]
@@ -227,7 +241,7 @@ def _local_move_fast(indptr, indices, weights, vcom, ctot, vaff, vtot, M, R, L, 
     return l if (l > 1 or el != 0.0) else 0
 
 
-def _contract_fast(indptr, indices, weights, cur, CN):
+def _contract_fast(indptr, indices, weights, cur, CN, src_idx):
     """Vectorized contraction preserving the reference's coarse-row
     insertion order (members ascending, adjacency order within member,
     first-encounter order of destination communities).
@@ -239,15 +253,21 @@ def _contract_fast(indptr, indices, weights, cur, CN):
     the order bincount did (bit-identical float sums), and (b) the
     group's first element carries the minimum original position, which
     reproduces the first-encounter row order (original CSR position
-    order == (member ascending, adjacency within member))."""
+    order == (member ascending, adjacency within member)).
+
+    ``src_idx`` is the per-edge source-vertex array aligned with
+    ``indices`` (the caller carries it across passes — the previous
+    pass's g_cu IS the next pass's src_idx), replacing a per-call
+    O(E) ``np.repeat`` materialization. Returns
+    (new_indptr, g_cv, sums, g_cu); g_cu doubles as the coarse graph's
+    src_idx for the next contraction."""
     import numpy as np
 
-    deg = np.diff(indptr)
-    cu = np.repeat(cur, deg)  # community of each edge's source
+    cu = cur[src_idx]  # community of each edge's source
     cv = cur[indices]
     E = len(cv)
     if E == 0:
-        return np.zeros(CN + 1, dtype=np.int64), cv, weights
+        return np.zeros(CN + 1, dtype=np.int64), cv, weights, cu
     order = np.lexsort((cv, cu))  # stable: ascending position in-group
     cu_s, cv_s, w_s = cu[order], cv[order], weights[order]
     grp = np.empty(E, dtype=bool)
@@ -262,7 +282,7 @@ def _contract_fast(indptr, indices, weights, cur, CN):
     g_cu, g_cv, sums = g_cu[g_order], g_cv[g_order], sums[g_order]
     new_indptr = np.zeros(CN + 1, dtype=np.int64)
     new_indptr[1:] = np.cumsum(np.bincount(g_cu, minlength=CN))
-    return new_indptr, g_cv, sums
+    return new_indptr, g_cv, sums, g_cu
 
 
 def louvain_seq_fast(
@@ -350,6 +370,7 @@ def louvain_seq_fast(
     E = tolerance
     l_total, p = 0, 0
     cur = ucom  # membership at the current coarse level
+    src_arr = src  # per-edge source vertex, carried across contractions
     first = True
     while M > 0 and max_passes > 0:
         m = _local_move_fast(
@@ -373,14 +394,13 @@ def louvain_seq_fast(
             first = False
         else:
             ucom = cur_r[ucom]
-        indptr, indices, weights = _contract_fast(
-            indptr, indices, weights, cur_r, CN
+        indptr, indices, weights, src_arr = _contract_fast(
+            indptr, indices, weights, cur_r, CN, src_arr
         )
-        vtot = np.bincount(
-            np.repeat(np.arange(CN, dtype=np.int64), np.diff(indptr)),
-            weights=weights,
-            minlength=CN,
-        )
+        # src_arr (g_cu) is sorted by source community, so this is the
+        # same array np.repeat(arange(CN), diff(indptr)) produced —
+        # identical bincount accumulation, no O(E) repeat
+        vtot = np.bincount(src_arr, weights=weights, minlength=CN)
         cur = np.arange(CN, dtype=np.int64)
         ctot = vtot.copy()
         vaff = np.ones(CN, dtype=np.int8)
