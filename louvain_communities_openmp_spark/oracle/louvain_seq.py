@@ -173,13 +173,47 @@ def louvain_seq(
     return LouvainSeqResult(ucom, utot, l_total, p, q, pass_log)
 
 
+# degree cutoff between the dict-walk and numpy-grouping paths of
+# _local_move_fast. The walk is O(deg) with ~0.1µs/edge constants; the
+# numpy grouping is O(deg·log deg) with ~2µs fixed overhead — the walk
+# wins everywhere except mega-hubs, where the two roughly tie (zipf
+# fixture with a 296k-degree hub: walk-only ≈ numpy-at-hubs within
+# noise). Both paths are bit-identical, so this is purely a speed knob.
+_SMALL_DEG = 4096
+
+
 def _local_move_fast(indptr, indices, weights, vcom, ctot, vaff, vtot, M, R, L, E):
     """Vectorized-per-vertex _local_move: same sweep order, same
     immediate updates, same first-max/insertion-order tie-break and
-    community-0 quirk — bit-identical membership, ~20× faster."""
+    community-0 quirk — bit-identical membership.
+
+    Two per-vertex paths, chosen by degree:
+
+    - deg ≤ _SMALL_DEG: a plain dict walk over Python-list mirrors of
+      the CSR. This IS the slow oracle's accumulation (_local_move,
+      above) verbatim — insertion-ordered dict, adjacency-order float
+      adds, the same ΔQ expression tree — so it is bit-identical by
+      construction, and ~5× faster than the numpy grouping at the
+      power-law-typical degree ~10, where per-call numpy overhead
+      (≈10 array ops on 10-element arrays) dominates.
+    - deg > _SMALL_DEG (hubs): the numpy grouping, whose bincount
+      accumulates k_uc in the same adjacency order (proven identical
+      on every fixture in tests/test_oracle.py).
+
+    vcom/ctot live in BOTH a numpy array (the hub path's fancy
+    indexing, and the caller's contract step) and a Python-list mirror
+    (the walk path's reads); every move writes both.
+    """
     import numpy as np
 
     n = len(indptr) - 1
+    ptr = indptr.tolist()
+    idx = indices.tolist()
+    wts = weights.tolist()
+    vcom_l = vcom.tolist()
+    ctot_l = ctot.tolist()
+    vtot_l = vtot.tolist()
+    M22 = 2.0 * M * M  # same association as the inline (2.0 * M * M)
     l = 0
     el = 0.0
     while l < L:
@@ -187,7 +221,39 @@ def _local_move_fast(indptr, indices, weights, vcom, ctot, vaff, vtot, M, R, L, 
         for u in range(n):
             if not vaff[u]:
                 continue
-            lo, hi = indptr[u], indptr[u + 1]
+            lo, hi = ptr[u], ptr[u + 1]
+            if hi - lo <= _SMALL_DEG:
+                vaff[u] = 0
+                d = vcom_l[u]
+                vcout: dict = {}  # insertion-ordered == reference vcs
+                for v, wt in zip(idx[lo:hi], wts[lo:hi]):
+                    if v == u:
+                        continue  # SELF=false scan (louvain.hxx:407)
+                    c = vcom_l[v]
+                    vcout[c] = vcout.get(c, 0.0) + wt
+                if not vcout:
+                    continue
+                kud = vcout.get(d, 0.0)
+                vt = vtot_l[u]
+                cd = ctot_l[d]
+                cmax, emax = 0, 0.0
+                for c, kuc in vcout.items():
+                    if c == d:
+                        continue
+                    e = (kuc - kud) / M - R * vt * (vt + ctot_l[c] - cd) / M22
+                    if e > emax:
+                        emax, cmax = e, c
+                el += emax
+                if cmax:  # the reference's `if (c)` community-0 quirk
+                    ctot[d] -= vt
+                    ctot[cmax] += vt
+                    ctot_l[d] -= vt
+                    ctot_l[cmax] += vt
+                    vcom[u] = cmax
+                    vcom_l[u] = cmax
+                    vaff[indices[lo:hi]] = 1
+                    vaff[u] = 0
+                continue
             nb = indices[lo:hi]
             ws = weights[lo:hi]
             mask = nb != u  # SELF=false scan (louvain.hxx:407)
@@ -197,9 +263,7 @@ def _local_move_fast(indptr, indices, weights, vcom, ctot, vaff, vtot, M, R, L, 
             if len(ncs) == 0:
                 continue
             # exact replica of np.unique(return_index, return_inverse)
-            # with ~30% less per-call overhead (this loop runs once per
-            # affected vertex per iteration — tens of thousands of
-            # times on a dense coarse graph): stable argsort ⇒ first
+            # with ~30% less per-call overhead: stable argsort ⇒ first
             # occurrence per group; inverse scattered back so bincount
             # accumulates the k_uc sums in ORIGINAL adjacency order —
             # bit-identical floats to the slow oracle's dict walk
@@ -232,7 +296,10 @@ def _local_move_fast(indptr, indices, weights, vcom, ctot, vaff, vtot, M, R, L, 
                 if cmax:  # the reference's `if (c)` community-0 quirk
                     ctot[d] -= vtot[u]
                     ctot[cmax] += vtot[u]
+                    ctot_l[d] = float(ctot[d])
+                    ctot_l[cmax] = float(ctot[cmax])
                     vcom[u] = cmax
+                    vcom_l[u] = cmax
                     vaff[nb] = 1
                     vaff[u] = 0
         l += 1

@@ -165,3 +165,35 @@ def test_fast_oracle_parity():
         assert fast.membership == slow.membership, name
         assert abs(fast.modularity - slow.modularity) < 1e-12, name
         assert (fast.passes, fast.iterations) == (slow.passes, slow.iterations), name
+
+
+def test_fast_oracle_degree_paths_identical(monkeypatch):
+    """_local_move_fast picks between a dict-walk and a numpy-grouping
+    path per vertex by degree (_SMALL_DEG). Both must be bit-identical
+    to the slow oracle: force walk-only, numpy-only, and a mixed cutoff
+    that splits the hubby power-law fixture across both paths."""
+    import importlib
+
+    from louvain_communities_openmp_spark.oracle.graphs import power_law
+
+    # importlib: the oracle package re-exports the louvain_seq FUNCTION,
+    # shadowing the module attribute of the same name
+    mod = importlib.import_module(
+        "louvain_communities_openmp_spark.oracle.louvain_seq"
+    )
+
+    el = power_law(400, 3)
+    slow = louvain_seq(adjacency(el))
+    src = [e[0] for e in el]
+    dst = [e[1] for e in el]
+    w = [e[2] for e in el]
+    deg: dict = {}
+    for u in src:
+        deg[u] = deg.get(u, 0) + 1
+    mid = sorted(deg.values())[len(deg) // 2]
+    for cut in (0, mid, 1 << 30):
+        monkeypatch.setattr(mod, "_SMALL_DEG", cut)
+        fast = mod.louvain_seq_fast(src, dst, w)
+        assert fast.membership == slow.membership, cut
+        assert abs(fast.modularity - slow.modularity) < 1e-12, cut
+        assert (fast.passes, fast.iterations) == (slow.passes, slow.iterations), cut
