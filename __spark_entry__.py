@@ -272,7 +272,10 @@ def _q_louvain(spark, sf):
         F.lit(bool(abs(res.modularity - float(q_rec)) <= 1e-9)).alias(
             "q_engine_matches_recomputed"
         ),
-        F.lit(bool(res.modularity > 0.0)).alias("modularity_positive"),
+        # derived from the RECOMPUTED Q (membership ⋈ edges), not the
+        # engine's self-reported value — stays meaningful even if the
+        # engine's Q accounting broke
+        F.lit(bool(float(q_rec) > 0.0)).alias("modularity_positive"),
     )
 
 

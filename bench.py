@@ -294,6 +294,21 @@ def _bigdist_run(
                 "read": mb(sum(r["read"] for r in rb) / n_it),
                 "write": mb(sum(r["write"] for r in rb) / n_it),
             }
+            if probe.get("routing_rows"):
+                # routed-state volume (V·r rows) — what the iteration
+                # exchange is proportional to. bytes_per_routed_row
+                # should be ~constant across fixtures of different
+                # density if (and only if) iterations are vertex-state
+                # bound rather than edge bound.
+                rr = probe["routing_rows"]
+                out["routing_rows"] = rr
+                out["blocks"] = probe.get("blocks")
+                out["shuffle_bytes_per_routed_row"] = round(
+                    sum(r["read"] for r in rb) / n_it / rr, 1
+                )
+                out["shuffle_bytes_per_edge"] = round(
+                    sum(r["read"] for r in rb) / n_it / n, 1
+                )
         return out
     finally:
         os.environ.pop("LOUVAIN_SHUFFLE_PROBE", None)
@@ -364,8 +379,19 @@ def main():
                     or d["sec_per_iteration"] < best[name]["sec_per_iteration"]
                 ):
                     best[name] = d
+        # density discriminator for the shuffle-byte evidence: same
+        # directed-edge count, 30x fewer vertices (avg degree ~280 vs
+        # ~9). Routed rows V·r collapse toward V·blocks ≪ E here, so
+        # if per-iteration shuffle follows routed rows (vertex-state
+        # bound) it drops several-fold vs the sparse fixture; if it
+        # were edge-bound it would stay put. Shuffle BYTES are
+        # deterministic (unlike wall time on this noisy host), so a
+        # single shot is sufficient evidence.
+        dense = _bigdist_run(0, n_vertices=100_000)
+        dense["path"] = "fallback_dense"
         block = {
             **best,
+            "fallback_dense": dense,
             "repeats_interleaved_min": k,
             "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }

@@ -1210,6 +1210,7 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         _sh0 = _shuffle_totals(spark) if _probe else (0, 0)
         shuffle_setup: tuple | None = None
         shuffle_rounds: list = []
+        routing_rows: int | None = None
         # blocks sized by vertex count (reference chunk geometry);
         # a single block with gate=1 IS the sequential reference sweep
         blocks_pass = max(1, min(num_blocks, gn // opts.block_vertices or 1))
@@ -1292,6 +1293,14 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 .repartition("id")
                 .localCheckpoint(eager=True)
             )
+            if _probe:
+                # routing rows = V·r (r = mean blocks per vertex) — the
+                # row count each iteration's exchange is proportional
+                # to. Emitted so the shuffle-byte evidence can be tied
+                # to routed-state volume, not edge volume: bytes per
+                # routed row should be constant across fixtures while
+                # bytes per edge varies with density.
+                routing_rows = routing.count()
             if init_mem is not None:
                 # warm start (louvainInitializeFromW): provided
                 # membership; absent vertices get FRESH singleton
@@ -1402,6 +1411,8 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             rec["shuffle_probe"] = {
                 "setup_bytes": shuffle_setup,
                 "round_bytes": shuffle_rounds,
+                "routing_rows": routing_rows,
+                "blocks": blocks_pass,
             }
         p += 1
         # pass made essentially no progress → stop (reference's m≤1,

@@ -26,7 +26,10 @@ from louvain_communities_openmp_spark.operators.louvain import (  # noqa: E402
 from louvain_communities_openmp_spark.session import get_spark  # noqa: E402
 from louvain_communities_openmp_spark.sources.edges import coorder_edges  # noqa: E402
 
-THRESHOLDS = [2_000_000, 1_000_000, 500_000, 200_000]
+# 4M ≙ all-serial at sf0.1 (2.7M directed edges): the dict-walk oracle
+# is ~1µs/edge, so full-serial is a real contender against
+# distributed-first-pass + serial tail at this size
+THRESHOLDS = [4_000_000, 2_000_000, 1_000_000, 500_000, 200_000]
 
 
 def main():
