@@ -343,6 +343,30 @@ def _membw_probe(workers: int = 8, n: int = 8_000_000) -> dict:
     return out
 
 
+def _wait_quiet_window() -> list[float]:
+    """Opportunistically delay the suite until the host looks quiet.
+
+    The sentinel sort has an ABSOLUTE reference on this VM: ~0.2-0.5s
+    single-core when the host is unthrottled, ≥2s in bad hypervisor
+    windows (up to 20x observed). A uniformly-throttled window reads
+    host_noise≈1 yet runs the whole suite 2-5x slow, so the ratio
+    alone cannot flag it — sample the sentinel every ~20s and start
+    once it drops under SPARK_GRAFT_QUIET_SENTINEL_SEC (default 1.0),
+    or after SPARK_GRAFT_QUIET_WAIT_SEC (default 240; 0 disables).
+    All samples are recorded so the reader sees what was skipped.
+    """
+    target = float(os.environ.get("SPARK_GRAFT_QUIET_SENTINEL_SEC", "1.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_SEC", "240"))
+    t0 = time.time()
+    samples: list[float] = []
+    while True:
+        s = _membw_task(4_000_000)
+        samples.append(round(s, 3))
+        if s <= target or time.time() - t0 >= max_wait:
+            return samples
+        time.sleep(20)
+
+
 def _membw_task(n: int) -> float:
     import numpy as np
 
@@ -371,9 +395,15 @@ def main():
         # adjacent sampling + min is the only honest comparator
         k = max(1, int(os.environ.get("SPARK_GRAFT_BIGDIST_REPEATS", "2")))
         best: dict = {}
+        sentinels = [round(_membw_task(20_000_000), 3)]
         for _ in range(k):
             for name, bv in (("fallback", 0), ("broadcast", 1 << 40)):
                 d = _bigdist_run(bv)
+                # same host-noise sentinel as the headline suite: a
+                # fixed-work single-core sort after every variant run,
+                # so bigdist WALL-time ratios carry their own noise
+                # context (the shuffle-byte metrics don't need it)
+                sentinels.append(round(_membw_task(20_000_000), 3))
                 if (
                     name not in best
                     or d["sec_per_iteration"] < best[name]["sec_per_iteration"]
@@ -389,10 +419,13 @@ def main():
         # single shot is sufficient evidence.
         dense = _bigdist_run(0, n_vertices=100_000)
         dense["path"] = "fallback_dense"
+        sentinels.append(round(_membw_task(20_000_000), 3))
         block = {
             **best,
             "fallback_dense": dense,
             "repeats_interleaved_min": k,
+            "host_sentinel_sec": sentinels,
+            "host_noise": round(max(sentinels) / min(sentinels), 2),
             "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         bpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -424,17 +457,27 @@ def main():
     # committed and canonical artifacts was unadjudicable
     # (host noise vs real regression).
     k = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-    sentinels = [round(_membw_task(4_000_000), 3)]
+    quiet_wait = _wait_quiet_window()
+    sentinels = [quiet_wait[-1]]
     repeat_times: list[dict] = []
     times, extras = run_suite(spark, sf_dir)
     repeat_times.append(dict(times))
     sentinels.append(round(_membw_task(4_000_000), 3))
     for _ in range(k - 1):
-        t2, _ = run_suite(spark, sf_dir)
+        t2, x2 = run_suite(spark, sf_dir)
         repeat_times.append(dict(t2))
         sentinels.append(round(_membw_task(4_000_000), 3))
+        # extras (phase split, throughput) must describe the SAME
+        # repeat the reported louvain minimum comes from — repeat 0 is
+        # the cold-JIT run and its serial-kernel split reads ~3x the
+        # warm value, which round 4 initially misreported
+        if t2["louvain"] < times["louvain"]:
+            extras = x2
         for q, v in t2.items():
             times[q] = min(times[q], v)
+    extras["louvain_edges_per_sec"] = round(
+        extras["n_edges_directed"] / times["louvain"], 1
+    )
     spark.stop()
     host_noise = round(max(sentinels) / max(min(sentinels), 1e-9), 2)
 
@@ -451,6 +494,12 @@ def main():
         # cross-run delta under that factor is unadjudicable.
         "host_sentinel_sec": sentinels,
         "host_noise": host_noise,
+        # absolute regime context: quiet host ≈ 0.2-0.5s for this
+        # fixed sort; ≥2s = throttled hypervisor window (suite runs
+        # 2-5x slow even when host_noise≈1). quiet_wait_sentinel_sec
+        # lists the pre-suite samples taken while waiting for a quiet
+        # window (bounded; see _wait_quiet_window).
+        "quiet_wait_sentinel_sec": quiet_wait,
         "sf": _sf_tag(sf_dir),
         **extras,
     }

@@ -84,13 +84,18 @@ class LouvainOptions:
     # (louvain.hxx:1174-1176). Pass 0 of any at-scale graph stays
     # distributed; only the contracted tail collapses inward.
     # Threshold picked by measurement (scripts/sweep_small_graph.py,
-    # sf0.1, interleaved min-of-2): 2M → 19.6s total louvain
-    # (local_finish 10.5s); 1M/500k/200k → 26-37s, because the
-    # coarsened pass-1 graph (1.96M edges over only ~4.7k vertices)
-    # yields ≤2 kernel blocks — distributed rounds there run nearly
-    # serial WITH per-round job latency, strictly worse than the
-    # vectorized driver kernel. Lowering this is a loss, not a win.
-    small_graph_edges: int = 2_000_000
+    # sf0.1 = 2.7M directed edges, interleaved min-of-2, see
+    # SWEEP_SMALL_GRAPH.json): 4M (all-serial at this size) → 17.3s
+    # total; 2M → 24.4s; 1M/500k/200k → 33-36s. The dict-walk serial
+    # kernel runs ~1µs/edge, so a 4M-edge remainder costs ~4s in the
+    # driver while distributed rounds on the same remainder cost
+    # ~1-2s per iteration × tens of iterations — the crossover the
+    # round-3 verdict asked to lower actually sits HIGHER than the
+    # old default. At 100 TB pass 0 stays distributed regardless
+    # (edges ≫ threshold); this only controls when the contracted
+    # tail (≤ ~100 MB as arrays) collapses into the driver, the
+    # analog of the reference's representation swap.
+    small_graph_edges: int = 4_000_000
     # broadcast membership/vtot/ctot into the annotation joins while
     # the vertex count is at most this (~20 bytes/row ⇒ ≲100 MB
     # broadcast); larger graphs fall back to co-partitioned shuffle
