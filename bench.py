@@ -643,6 +643,19 @@ def main():
             / max(bd["broadcast"]["sec_per_iteration"], 1e-9),
             2,
         )
+        if "fallback_dense" in bd:
+            # web-typical-density ratio (the representative case: V·r
+            # ≪ E); the sparse fixture above is the adversarial one
+            line["bigdist"]["fallback_dense_vs_broadcast"] = round(
+                bd["fallback_dense"]["sec_per_iteration"]
+                / max(bd["broadcast"]["sec_per_iteration"], 1e-9),
+                2,
+            )
+        if "shuffle_per_iteration_mb" in bd["fallback"]:
+            line["bigdist"]["fallback_shuffle_mb_per_iter"] = bd[
+                "fallback"]["shuffle_per_iteration_mb"]["read"]
+        if "host_noise" in bd:
+            line["bigdist"]["host_noise"] = bd["host_noise"]
         line["bigdist"]["detail"] = "BIGDIST.json"
     line["detail"] = "BENCH_DETAIL.json"
     s = json.dumps(line)
