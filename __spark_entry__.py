@@ -498,6 +498,17 @@ def _q_minhash_lsh_pairs(spark, sf):
     return minhash_lsh_pairs(_docs(spark, sf), k=5, num_hashes=8, bands=4)
 
 
+def _q_dedup_clusters(spark, sf):
+    """Transitive near-dup clustering (LSH pairs → connected components
+    → canonical representative) — the actionable form of dedup: keep
+    one doc per near-dup cluster."""
+    from louvain_communities_openmp_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+
+    return near_dup_clusters(_docs(spark, sf), k=5, num_hashes=8, bands=4)
+
+
 def _q_community_degree(spark, sf):
     from louvain_communities_openmp_spark.operators.properties import (
         community_total_degree,
@@ -544,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_transpose_degrees": _q_transpose_degrees,
         "e_lsh_topk": _q_lsh_topk,
         "d_minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "d_dedup_clusters": _q_dedup_clusters,
         "g_community_degree_mod64": _q_community_degree,
         "m_media_meta": _q_media_meta,
         "m_media_features": _q_media_features,
@@ -630,9 +642,11 @@ SELECT doc, {mh} FROM s WHERE len(sh) > 0
 """
 
 
-def _minhash_lsh_pairs_sql(
-    k: int = 5, num_hashes: int = 8, bands: int = 4, threshold: float = 0.7
-) -> str:
+def _lsh_pairs_ctes(k: int = 5, num_hashes: int = 8, bands: int = 4) -> str:
+    """The shared CTE chain shingles → signatures → band buckets →
+    candidate pairs → exact-Jaccard `scored` (a, b, jr) — the SQL twin
+    of operators.dedup.minhash_lsh_pairs, reused by the pair query and
+    the transitive-cluster query."""
     rows = num_hashes // bands
     mh = ",\n    ".join(_mh_exprs(num_hashes))
     band_selects = []
@@ -642,8 +656,7 @@ def _minhash_lsh_pairs_sql(
             f"SELECT doc, {b} AS band, md5({parts}) AS h FROM sig"
         )
     banded = "\nUNION ALL\n".join(band_selects)
-    return f"""
-WITH {_shingle_ctes(k)},
+    return f"""{_shingle_ctes(k)},
 sig AS MATERIALIZED (SELECT doc, {mh} FROM s WHERE len(sh) > 0),
 banded AS MATERIALIZED ({banded}),
 cand AS (
@@ -656,9 +669,62 @@ scored AS (
          CAST(len(list_intersect(xa.sh, xb.sh)) AS DOUBLE)
            / (len(xa.sh) + len(xb.sh) - len(list_intersect(xa.sh, xb.sh))) AS jr
   FROM cand JOIN sets xa ON xa.doc = cand.a JOIN sets xb ON xb.doc = cand.b
-)
+)"""
+
+
+def _minhash_lsh_pairs_sql(
+    k: int = 5, num_hashes: int = 8, bands: int = 4, threshold: float = 0.7
+) -> str:
+    return f"""
+WITH {_lsh_pairs_ctes(k, num_hashes, bands)}
 SELECT a, b, round(jr, 6) AS jaccard FROM scored WHERE jr >= {threshold} - 1e-12
 """
+
+
+def _dedup_clusters_sql(
+    k: int = 5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+    rounds: int = 8,
+) -> str:
+    """Transitive near-dup clusters: verified LSH pairs → symmetric
+    pair graph → hash-min label propagation unrolled `rounds` times
+    (same sentinel-on-nonconvergence pattern as _components_sql; the
+    engine side iterates to fixpoint) → cluster = min doc_id reachable;
+    singletons cluster to themselves. Mirrors
+    operators.dedup.near_dup_clusters."""
+    ctes = [
+        _lsh_pairs_ctes(k, num_hashes, bands),
+        f"""pairs AS MATERIALIZED (
+  SELECT a, b FROM scored WHERE jr >= {threshold} - 1e-12
+)""",
+        """pe AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b, a FROM pairs
+)""",
+        "c0 AS MATERIALIZED (SELECT doc_id AS id, doc_id AS comp "
+        "FROM documents)",
+    ]
+    for r in range(rounds):
+        ctes.append(f"""
+c{r + 1} AS MATERIALIZED (
+  SELECT p.id, least(p.comp, coalesce(c.mn, p.comp)) AS comp
+  FROM c{r} p LEFT JOIN (
+    SELECT e.dst AS id, min(q.comp) AS mn
+    FROM pe e JOIN c{r} q ON e.src = q.id GROUP BY e.dst
+  ) c ON p.id = c.id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id AS doc_id, comp AS cluster_id, (id = comp) AS is_canonical
+FROM c{rounds}
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), FALSE WHERE EXISTS (
+  SELECT 1 FROM c{rounds - 1} a JOIN c{rounds} b
+  ON a.id = b.id AND a.comp <> b.comp)"""
+    )
 
 
 def _simhash_pairs_sql(max_hamming: int = 3) -> str:
@@ -1149,6 +1215,7 @@ FROM documents""",
         "d_ngram_pairs": _ngram_pairs_sql(),
         "d_simhash": _simhash_sql(),
         "d_minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
+        "d_dedup_clusters": _dedup_clusters_sql(),
         "d_simhash_pairs": _simhash_pairs_sql(),
         "e_lsh_topk": _lsh_topk_sql(),
         "e_embed_neardup": _embed_neardup_sql(),

@@ -345,3 +345,57 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
         "b",
         F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long").alias("hamming"),
     ).where(F.col("hamming") <= max_hamming)
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Transitive near-duplicate clustering with a canonical
+    representative per cluster — the dedup step an LLM training-data
+    pipeline actually runs (pairs alone are not actionable; "keep one
+    doc per near-dup cluster" is).
+
+    Pipeline: minhash_lsh_pairs (band-bucket candidates + exact-Jaccard
+    verify) → symmetric pair graph → connected components (hash-min +
+    pointer jumping, O(log diameter) rounds — near-dup clusters chain:
+    A~B~C with A!~C still dedups together) → cluster_id = min doc_id in
+    the component; docs in no pair are singleton clusters of
+    themselves. Output: (doc_id, cluster_id, is_canonical), exactly one
+    row per input doc; filtering is_canonical yields the deduplicated
+    corpus.
+
+    Scale shape: the quadratic-risk stage is bounded by the LSH
+    band-bucket join (see minhash_lsh_pairs); the component step runs
+    only over the near-dup PAIR graph (≪ corpus — only docs with ≥1
+    verified near-dup), and the cluster map joins back to the corpus on
+    the doc-id key (plain shuffle hash join; AQE broadcasts it when the
+    dup share is small).
+    """
+    from .components import connected_components
+
+    pairs = minhash_lsh_pairs(
+        docs, text_col, id_col, k, num_hashes, bands, threshold
+    )
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    comp = connected_components(sym).components
+    ids = docs.select(F.col(id_col).alias("doc_id"))
+    out = ids.join(
+        comp.select(F.col("id").alias("doc_id"), F.col("comp")),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("cluster_id"),
+        (
+            F.coalesce(F.col("comp"), F.col("doc_id")) == F.col("doc_id")
+        ).alias("is_canonical"),
+    )
+    return out

@@ -215,3 +215,48 @@ def test_lsh_topk_plans_as_equijoin(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_near_dup_clusters_transitive(spark, docs):
+    """Cluster ids equal the union-find closure of the engine's own
+    verified pair list (independent python union-find), every doc gets
+    exactly one row, cluster_id == min(doc_id) within each cluster, and
+    is_canonical marks exactly that minimum."""
+    from louvain_communities_openmp_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    pairs = minhash_lsh_pairs(docs, k=3, num_hashes=8, bands=4)
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in near_dup_clusters(docs, k=3, num_hashes=8, bands=4).collect()
+    }
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    assert sorted(got) == sorted(all_ids)  # one row per doc
+
+    # independent union-find over the collected pair list
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for i in all_ids:
+        root = find(i)
+        expect.setdefault(root, []).append(i)
+    for root, members in expect.items():
+        lo = min(members)
+        for m in members:
+            assert got[m][0] == lo
+            assert got[m][1] == (m == lo)
+    # the planted dup chain 1≈2≈3≈6 must actually collapse
+    assert got[1][0] == got[2][0] == 1
+    assert len({got[i][0] for i in all_ids}) < len(all_ids)
