@@ -489,6 +489,19 @@ def _q_lsh_topk(spark, sf):
     return cosine_topk_lsh(emb, queries, k=10)
 
 
+def _q_ivf_topk(spark, sf):
+    """Approximate cosine top-k via an IVF coarse index (deterministic
+    lowest-id anchors as centroids): cell assignment is a broadcast-
+    literal codegen scan, probing an equi-join on the cell key."""
+    from louvain_communities_openmp_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(10)
+    return cosine_topk_ivf(emb, queries, k=10)
+
+
 def _q_minhash_lsh_pairs(spark, sf):
     """MinHash-LSH near-dup pairs: banding is md5 over the (oracled)
     signature columns, so the full band→bucket→verify pipeline is
@@ -554,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_bfs_hops": _q_bfs_hops,
         "g_transpose_degrees": _q_transpose_degrees,
         "e_lsh_topk": _q_lsh_topk,
+        "e_ivf_topk": _q_ivf_topk,
         "d_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "d_dedup_clusters": _q_dedup_clusters,
         "g_community_degree_mod64": _q_community_degree,
@@ -769,6 +783,84 @@ def _sketch_sql_expr(vcol: str, planes: int, dim: int) -> str:
             f" ELSE CAST(0 AS BIGINT) END)"
         )
     return " + ".join(terms)
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential left-to-right double dot product over two DOUBLE[]
+    expressions — list_reduce folds left exactly like Spark's
+    F.aggregate(zip_with(a,b,*), 0.0, acc+v) (0.0+x == x bitwise), so
+    the cell-assignment argmax in the IVF twin is engine-portable
+    without rounding."""
+    return (
+        f"list_reduce(list_transform({a}, (x, i) -> x * ({b})[i]), "
+        f"(p, q) -> p + q)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform({a}, (x) -> x * x), "
+        f"(p, q) -> p + q))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"{_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)})"
+
+
+def _ivf_topk_sql(
+    k: int = 10, n_cells: int = 16, n_probe: int = 4, n_queries: int = 10
+) -> str:
+    """IVF coarse-index ANN twin of operators.similarity.cosine_topk_ivf:
+    centroids = the n_cells lowest-vec_id vectors (cid = 1-based
+    ascending-vec_id position, matching Spark's sequence/array_position
+    cells), assignment = argmax cosine with lowest-cid tie-break,
+    probes = each query's n_probe best cells, exact cosine re-rank."""
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+  FROM emb ORDER BY vec_id LIMIT {n_cells}
+),
+sims AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, {_cos_sql('e.v', 'c.cv')} AS s
+  FROM emb e CROSS JOIN cent c
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid ASC) AS rn
+    FROM sims) WHERE rn = 1
+),
+q AS MATERIALIZED (
+  SELECT vec_id AS query_id, v AS qv FROM emb
+  ORDER BY vec_id LIMIT {n_queries}
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT s.vec_id AS query_id, s.cid AS cell,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.s DESC, s.cid ASC) AS rn
+    FROM sims s JOIN q ON q.query_id = s.vec_id) WHERE rn <= {n_probe}
+),
+pairs AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round({_cos_sql('q.qv', 'e2.v')}, 6) AS sim
+  FROM probes p
+  JOIN q ON q.query_id = p.query_id
+  JOIN assign a ON a.cell = p.cell
+  JOIN emb e2 ON e2.vec_id = a.vec_id
+  WHERE a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT pairs.*,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM pairs) WHERE rn <= {k}
+"""
 
 
 def _lsh_topk_sql(k: int = 10, planes: int = 12, probe_hamming: int = 2,
@@ -1218,6 +1310,7 @@ FROM documents""",
         "d_dedup_clusters": _dedup_clusters_sql(),
         "d_simhash_pairs": _simhash_pairs_sql(),
         "e_lsh_topk": _lsh_topk_sql(),
+        "e_ivf_topk": _ivf_topk_sql(),
         "e_embed_neardup": _embed_neardup_sql(),
         "e_cosine_topk": """
 WITH q AS (

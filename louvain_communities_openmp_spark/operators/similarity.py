@@ -201,3 +201,96 @@ def embedding_neardup_pairs(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse index: every
+    vector is assigned to its nearest centroid cell; a query searches
+    only its `n_probe` nearest cells with an exact cosine re-rank.
+
+    Centroid choice is deterministic — the `n_cells` lowest-id vectors
+    serve as coarse anchors (a production deployment would k-means
+    them; the IVF *plan shape* is identical either way and is what
+    matters at scale): the inverted index is one cell-assignment pass
+    over the corpus (centroids ship as broadcast literals inside
+    whole-stage codegen — no Python in the scan), the probe is a
+    cell-key EQUI-join against the tiny exploded (query, cell) frame,
+    and the re-rank touches ~n_probe/n_cells of the corpus instead of
+    all of it. Assignment tie-break: first-max = lowest cell id, via
+    array_position(arr, array_max(arr)).
+
+    Output (query_id, neighbor_id, sim), identical contract to
+    cosine_topk_lsh / cosine_topk_bruteforce.
+    """
+    from pyspark.sql import Window
+
+    dim = _dim_of(embeddings, vec_col)
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_cells)
+        .select(as_double(F.col(vec_col)).alias("cv"))
+        .collect()
+    )
+    cent_vecs = [r["cv"] for r in cents]
+
+    def sims_arr(vec: Column) -> Column:
+        # cosine vs every centroid, sequential left-to-right double
+        # accumulation (F.aggregate) — the same expression the DuckDB
+        # twin inlines, so the argmax assignment is engine-portable
+        return F.array(*[
+            cosine(vec, F.array(*[F.lit(float(x)) for x in cv]))
+            for cv in cent_vecs
+        ])
+
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("sims", sims_arr(F.col("cv"))).withColumn(
+        "cell",
+        F.array_position(F.col("sims"), F.array_max("sims")).cast("long"),
+    ).drop("sims")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn(
+        "qs",
+        F.explode(
+            F.arrays_zip(
+                sims_arr(F.col("qv")).alias("cs"),
+                F.sequence(F.lit(1), F.lit(len(cent_vecs))).alias("cell"),
+            )
+        ),
+    ).select(
+        "query_id",
+        "qv",
+        F.col("qs.cs").alias("cs"),
+        F.col("qs.cell").cast("long").alias("cell"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cs"), F.asc("cell"))
+    probes = (
+        q.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "cell")
+    )
+    pairs = (
+        c.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "sim")
+    )

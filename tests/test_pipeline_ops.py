@@ -260,3 +260,35 @@ def test_near_dup_clusters_transitive(spark, docs):
     # the planted dup chain 1≈2≈3≈6 must actually collapse
     assert got[1][0] == got[2][0] == 1
     assert len({got[i][0] for i in all_ids}) < len(all_ids)
+
+
+def test_cosine_topk_ivf_recall_and_plan(spark):
+    """IVF coarse-index ANN: (a) n_probe=n_cells degenerates to exact —
+    recall 1.0 vs brute force; (b) a narrower probe keeps recall high on
+    the clustered embeddings; (c) the probe is a hash equi-join on the
+    cell key, never a nested-loop."""
+    from louvain_communities_openmp_spark.operators.similarity import (
+        cosine_topk_ivf,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(5)
+    bf_set = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_bruteforce(emb, queries, k=5).collect()
+    }
+
+    # full probe == exhaustive search (every cell searched)
+    full = cosine_topk_ivf(emb, queries, k=5, n_cells=8, n_probe=8)
+    full_set = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert full_set == bf_set
+
+    ivf = cosine_topk_ivf(emb, queries, k=5, n_cells=16, n_probe=4)
+    ivf_rows = ivf.collect()
+    ivf_set = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
+    recall = len(bf_set & ivf_set) / len(bf_set)
+    assert recall >= 0.6, recall
+
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
