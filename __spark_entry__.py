@@ -339,6 +339,40 @@ def _q_simhash_pairs(spark, sf):
     return simhash_pairs(_docs(spark, sf), max_hamming=3)
 
 
+def _q_sample_stratified(spark, sf):
+    """Deterministic hash-threshold stratified sample of documents —
+    a map-only codegen scan (no shuffle), keep iff md5('s7|'||doc_id)[:8]
+    is below the per-lang threshold hex; exact-portable to the oracle
+    via lexicographic hex-string compare."""
+    from louvain_communities_openmp_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    return stratified_sample(
+        _docs(spark, sf),
+        strata_col="lang",
+        fractions={"en": 0.25, "zh": 0.5},
+        default_fraction=0.125,
+    )
+
+
+def _q_clean_corpus(spark, sf):
+    """End-to-end training-data cleaning: quality gates + language
+    filter fused into one codegen scan, then exact dedup (canonical =
+    min doc_id among survivors) in one uniform-key shuffle."""
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        clean_corpus,
+    )
+
+    return clean_corpus(
+        _docs(spark, sf),
+        min_tokens=10,
+        max_tokens=100_000,
+        min_alpha_ratio=0.5,
+        langs=("en", "de"),
+    )
+
+
 def _q_cosine_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.orderBy("vec_id").limit(10)
@@ -560,6 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_ngram_pairs": _q_ngram_pairs,
         "d_simhash": _q_simhash,
         "d_simhash_pairs": _q_simhash_pairs,
+        "d_sample_stratified": _q_sample_stratified,
+        "d_clean_corpus": _q_clean_corpus,
         "e_cosine_topk": _q_cosine_topk,
         "e_embed_neardup": _q_embed_neardup,
         "g_describe": _q_describe,
@@ -1303,6 +1339,29 @@ SELECT doc_id,
        WHEN {de_cnt} > {en_cnt} THEN 'de' ELSE 'en' END AS lang_pred
 FROM documents""",
         "d_fingerprint": f"SELECT doc_id, substr(md5({_norm('text')}), 1, 16) AS fp FROM documents",
+        "d_sample_stratified": """
+SELECT doc_id, lang, substr(md5('s7|' || CAST(doc_id AS VARCHAR)), 1, 8) AS bucket
+FROM documents
+WHERE substr(md5('s7|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+  CASE lang WHEN 'en' THEN '40000000' WHEN 'zh' THEN '80000000'
+            ELSE '20000000' END""",
+        "d_clean_corpus": f"""
+WITH feats AS (
+  SELECT doc_id, md5(text) AS text_hash,
+    CASE WHEN {en_cnt} = 0 AND {de_cnt} = 0 THEN 'und'
+         WHEN {de_cnt} > {en_cnt} THEN 'de' ELSE 'en' END AS lang_pred,
+    {tc} AS n_tokens,
+    length(text) AS n_chars,
+    round(CASE WHEN length(text) > 0 THEN CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END, 6) AS alpha_ratio
+  FROM documents
+), gated AS (
+  SELECT * FROM feats
+  WHERE n_tokens BETWEEN 10 AND 100000
+    AND alpha_ratio >= 0.5 AND lang_pred IN ('en', 'de')
+)
+SELECT doc_id, lang_pred, n_tokens, n_chars, alpha_ratio FROM (
+  SELECT gated.*, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
+  FROM gated) WHERE rn = 1""",
         "d_minhash_sig": _minhash_sig_sql(),
         "d_ngram_pairs": _ngram_pairs_sql(),
         "d_simhash": _simhash_sql(),

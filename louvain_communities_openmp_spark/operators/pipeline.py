@@ -1,0 +1,68 @@
+"""End-to-end corpus cleaning: the composite filter chain a
+training-data pipeline runs before tokenization.
+
+clean_corpus = quality gates + language filter + exact dedup, fused so
+the plan is ONE whole-stage-codegen scan (token/alpha/lang features are
+pure Catalyst expressions from functions.text — no Python in the row
+path) followed by ONE shuffle (window over md5(text), a uniform
+64-bit-entropy key, so no skew) that both deduplicates and picks the
+deterministic canonical (min doc_id) per content group.
+
+Order matters at scale: the cheap map-side gates run BEFORE the dedup
+shuffle, so only surviving rows are exchanged — on a 100 TB corpus
+with a typical 40-60% filter rate that halves the shuffle volume
+versus dedup-first. Consequence (documented semantics): the canonical
+representative is the min doc_id among *survivors*, not among all
+duplicates — a group whose lowest-id copy fails a quality gate is
+represented by its lowest-id passing copy.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import lang_id, quality_features
+
+
+def clean_corpus(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 1_000_000,
+    min_alpha_ratio: float = 0.0,
+    langs: Sequence[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Kept documents after quality gates, language filter, and exact
+    dedup. Returns (doc_id, lang_pred, n_tokens, n_chars, alpha_ratio).
+
+    All feature expressions are the same oracled Catalyst columns the
+    standalone d_quality / d_lang_id queries use, so every gate is
+    cross-engine verifiable; alpha_ratio is rounded to 6 decimals
+    BEFORE the threshold compare to keep the boundary engine-portable.
+    """
+    n_chars, n_tokens, _mean, alpha, _stop = quality_features(F.col(text_col))
+    feats = docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("text_hash"),
+        lang_id(F.col(text_col)).alias("lang_pred"),
+        n_tokens,
+        n_chars,
+        alpha,
+    )
+    gated = feats.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+    )
+    if langs is not None:
+        gated = gated.where(F.col("lang_pred").isin(list(langs)))
+    w = Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())
+    return (
+        gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "lang_pred", "n_tokens", "n_chars", "alpha_ratio")
+    )

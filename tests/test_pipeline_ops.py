@@ -292,3 +292,67 @@ def test_cosine_topk_ivf_recall_and_plan(spark):
     plan = ivf._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_stratified_sample_deterministic_and_shuffle_free(spark, docs):
+    from louvain_communities_openmp_spark.operators.sampling import (
+        _threshold_hex,
+        stratified_sample,
+    )
+
+    # Threshold encoding: exact hex bounds, clamped at the extremes.
+    assert _threshold_hex(0.0) == "00000000"
+    assert _threshold_hex(0.25) == "40000000"
+    assert _threshold_hex(1.0) == "g"
+
+    samp = stratified_sample(docs, fractions={"en": 1.0, "de": 0.0}, default_fraction=1.0)
+    got = {r["doc_id"] for r in samp.collect()}
+    assert 4 not in got            # de stratum dropped entirely
+    assert got == {1, 2, 3, 5, 6, 7}
+
+    # Determinism: identical result on a re-run with different partitioning.
+    again = {r["doc_id"] for r in stratified_sample(
+        docs.repartition(7), fractions={"en": 1.0, "de": 0.0}, default_fraction=1.0
+    ).collect()}
+    assert again == got
+
+    # Map-only: the physical plan has no exchange.
+    plan = samp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+
+    # Statistical sanity on real data: 25% en sample lands near 25%.
+    real = spark.read.parquet(f"{SF}/documents.parquet")
+    n_en = real.where(F.col("lang") == "en").count()
+    kept = stratified_sample(real, fractions={"en": 0.25}, default_fraction=0.0)
+    k = kept.count()
+    assert abs(k / max(n_en, 1) - 0.25) < 0.15, (k, n_en)
+
+
+def test_clean_corpus_gates_and_dedup(spark, docs):
+    from louvain_communities_openmp_spark.operators.pipeline import clean_corpus
+
+    out = clean_corpus(docs, min_tokens=3, max_tokens=100, min_alpha_ratio=0.1,
+                       langs=("en", "de"))
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 2 is an exact dup of 1 -> canonical min doc_id survives
+    assert 1 in rows and 2 not in rows
+    # doc 7 (empty) fails the min_tokens gate
+    assert 7 not in rows
+    # de doc passes the language filter
+    assert rows[4]["lang_pred"] == "de"
+    # near-dup 3 differs in content hash, so it survives exact dedup
+    assert 3 in rows
+
+    # language filter excludes 'und' and restricting langs drops de
+    en_only = {r["doc_id"] for r in clean_corpus(
+        docs, min_tokens=1, max_tokens=100, langs=("en",)).collect()}
+    assert 4 not in en_only
+
+    # gates run BEFORE the dedup shuffle: if the canonical (min-id) copy
+    # fails a gate, the lowest-id PASSING copy represents the group
+    alt = spark.createDataFrame(
+        [(10, "x y z"), (11, "the cat sat on the mat with a hat and a bat")],
+        "doc_id long, text string",
+    )
+    surv = {r["doc_id"] for r in clean_corpus(alt, min_tokens=5, max_tokens=100).collect()}
+    assert surv == {11}
