@@ -373,6 +373,45 @@ def _q_clean_corpus(spark, sf):
     )
 
 
+def _q_chunks(spark, sf):
+    """Token-window document chunking (64-token windows, 16 overlap):
+    one codegen scan — tokenize, sequence() the window starts, slice,
+    posexplode. No shuffle."""
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_docs(spark, sf), chunk_tokens=64, overlap=16)
+
+
+def _q_vocab_topk(spark, sf):
+    """Top-100 corpus vocabulary with counts; ties broken
+    lexicographically. Map-side combine collapses hot tokens before
+    the single shuffle; top-k is TakeOrderedAndProject, not a sort."""
+    from louvain_communities_openmp_spark.operators.pipeline import vocab_topk
+
+    return vocab_topk(_docs(spark, sf), k=100)
+
+
+def _q_degree_hist(spark, sf):
+    """Degree distribution histogram of the co-order graph —
+    (degree, n_vertices). Two map-side-combined aggregations."""
+    return (
+        degrees(coorder_edges(spark, sf))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_vertices"))
+    )
+
+
+def _q_kcore(spark, sf):
+    """80-core of the co-order graph by iterative peeling (6 rounds at
+    the gate SF) — (id, deg_in_core). The oracle unrolls identical
+    peel dynamics with a convergence sentinel (_kcore_sql)."""
+    from louvain_communities_openmp_spark.operators.kcore import kcore
+
+    return kcore(coorder_edges(spark, sf), k=80).core
+
+
 def _q_cosine_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.orderBy("vec_id").limit(10)
@@ -596,6 +635,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash_pairs": _q_simhash_pairs,
         "d_sample_stratified": _q_sample_stratified,
         "d_clean_corpus": _q_clean_corpus,
+        "d_chunks": _q_chunks,
+        "d_vocab_topk": _q_vocab_topk,
+        "g_degree_hist": _q_degree_hist,
+        "g_kcore80": _q_kcore,
         "e_cosine_topk": _q_cosine_topk,
         "e_embed_neardup": _q_embed_neardup,
         "g_describe": _q_describe,
@@ -1062,6 +1105,35 @@ r{t + 1} AS (
     )
 
 
+def _kcore_sql(k: int = 80, rounds: int = 12) -> str:
+    """k-core peeling unrolled to a fixed depth — identical dynamics
+    to operators.kcore.kcore, which iterates to fixpoint. Alive sets
+    are nested (a{i+1} ⊆ a{i}), so count equality between the last two
+    levels ⇔ set equality; a sentinel row (-1,-1) is appended if the
+    unroll depth was insufficient, failing the gate loudly (same
+    strategy as _components_sql)."""
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges)",
+    ]
+    for i in range(rounds):
+        ctes.append(f"""
+a{i + 1} AS MATERIALIZED (
+  SELECT e.src AS id, count(*) AS deg
+  FROM edges e JOIN a{i} s ON e.src = s.id JOIN a{i} t ON e.dst = t.id
+  GROUP BY e.src HAVING count(*) >= {k}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, CAST(deg AS BIGINT) AS deg_in_core FROM a{rounds}
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+WHERE (SELECT count(*) FROM a{rounds - 1}) <> (SELECT count(*) FROM a{rounds})"""
+    )
+
+
 def _components_sql(rounds: int = 16) -> str:
     """Hash-min label propagation unrolled to a fixed round count —
     identical dynamics to operators.components.connected_components,
@@ -1362,6 +1434,31 @@ WITH feats AS (
 SELECT doc_id, lang_pred, n_tokens, n_chars, alpha_ratio FROM (
   SELECT gated.*, row_number() OVER (PARTITION BY text_hash ORDER BY doc_id) AS rn
   FROM gated) WHERE rn = 1""",
+        "d_chunks": f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN {_norm('text')} = '' THEN CAST([] AS VARCHAR[])
+              ELSE {_toks('text')} END AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t), 48)) AS st
+  FROM toks
+)
+SELECT doc_id,
+       CAST((st - 1) // 48 AS BIGINT) AS chunk_id,
+       CAST(len(t[st:st + 63]) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(t[st:st + 63], ' ') AS chunk_text
+FROM s""",
+        "d_vocab_topk": f"""
+SELECT token, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT unnest({_toks('text')}) AS token FROM documents
+      WHERE {_norm('text')} <> '')
+GROUP BY token ORDER BY freq DESC, token LIMIT 100""",
+        "g_degree_hist": f"WITH {_EDGES_CTE.strip()},\n"
+        "deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY src)\n"
+        "SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree",
+        "g_kcore80": _kcore_sql(k=80, rounds=12),
         "d_minhash_sig": _minhash_sig_sql(),
         "d_ngram_pairs": _ngram_pairs_sql(),
         "d_simhash": _simhash_sql(),

@@ -24,7 +24,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import lang_id, quality_features
+from ..functions.text import lang_id, quality_features, tokens
 
 
 def clean_corpus(
@@ -65,4 +65,75 @@ def clean_corpus(
         gated.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select(id_col, "lang_pred", "n_tokens", "n_chars", "alpha_ratio")
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap —
+    the pre-tokenizer sharding step of a training pipeline.
+
+    Window i starts at token 1 + i*stride (stride = chunk_tokens -
+    overlap) and takes `chunk_tokens` tokens; the final window may be
+    shorter (slice clamps at the document end). Documents with zero
+    tokens yield no chunks. Returns
+    (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+
+    Scale shape: one whole-stage-codegen scan — tokenize, enumerate
+    window starts with sequence(), slice per start, posexplode. No
+    shuffle, no Python in the row path; output rows inherit the input
+    partitioning, so a downstream writer sees the same file-level
+    parallelism as the scan.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    chunks = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n, F.lit(stride)),
+            lambda s: F.array_join(F.slice(t, s, chunk_tokens), " "),
+        )
+    )
+    return docs.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(F.split(F.col("chunk_text"), " ")).cast("long").alias(
+            "n_chunk_tokens"
+        ),
+        "chunk_text",
+    )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: the k most frequent tokens with counts,
+    ties broken lexicographically (deterministic). Returns
+    (token, freq) — the standard corpus-stats table built before
+    tokenizer training / stopword derivation.
+
+    Scale shape: explode → groupBy(token).count() is one shuffle with
+    full map-side combine; hot tokens (stopwords) are NOT a skew
+    problem because partial aggregation collapses each map partition
+    to one row per token before the exchange. The final top-k is a
+    TakeOrderedAndProject (per-partition heap + driver merge of k
+    rows), never a full sort.
+    """
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k)
     )

@@ -98,3 +98,34 @@ def test_components_path_graph_log_rounds(spark):
     assert len(got) == n
     assert set(got.values()) == {0}
     assert res.iterations <= 14, res.iterations  # log2(128)=7, +slack
+
+
+def test_kcore_peeling(spark):
+    from louvain_communities_openmp_spark.operators.kcore import kcore
+
+    # K4 (4-clique) with a pendant path hanging off vertex 0:
+    # 0-1-2-3 all mutually connected; 0-4, 4-5.
+    und = [(a, b) for a in range(4) for b in range(4) if a != b]
+    und += [(0, 4), (4, 0), (4, 5), (5, 4)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in und], "src long, dst long, w double"
+    )
+    res = kcore(e, k=3)
+    got = {r["id"]: r["deg_in_core"] for r in res.core.collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}   # the clique, pendant peeled
+    assert res.iterations >= 2               # 5 peels first, then 4
+
+    # k=2 keeps clique only as well (path contributes degree-1 chain)
+    got2 = {r["id"] for r in kcore(e, k=2).core.collect()}
+    assert got2 == {0, 1, 2, 3}
+
+    # k above max degree: empty core, correct schema
+    res5 = kcore(e, k=5)
+    assert res5.core.count() == 0
+    assert [f.name for f in res5.core.schema.fields] == ["id", "deg_in_core"]
+
+    # self-loops don't count as peer support
+    e_loop = spark.createDataFrame(
+        [(7, 7, 1.0), (7, 8, 1.0), (8, 7, 1.0)], "src long, dst long, w double"
+    )
+    assert kcore(e_loop, k=2).core.count() == 0

@@ -356,3 +356,55 @@ def test_clean_corpus_gates_and_dedup(spark, docs):
     )
     surv = {r["doc_id"] for r in clean_corpus(alt, min_tokens=5, max_tokens=100).collect()}
     assert surv == {11}
+
+
+def test_chunk_documents_windows(spark):
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (2, "a b"),                                  # shorter than window
+            (3, ""),                                     # no chunks
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # stride 3: starts 1,4,7,10 -> 4 chunks; last is the single token t9
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_text"] for r in c1] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9",
+    ]
+    assert [r["n_chunk_tokens"] for r in c1] == [4, 4, 4, 1]
+    # overlap property: consecutive windows share exactly `overlap` tokens
+    assert c1[0]["chunk_text"].split()[-1] == c1[1]["chunk_text"].split()[0]
+    assert by_doc[2][0]["chunk_text"] == "a b"
+    assert 3 not in by_doc  # empty doc yields no chunks
+
+    # map-only plan: no exchange
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_vocab_topk_counts_and_ties(spark):
+    from louvain_communities_openmp_spark.operators.pipeline import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "b a b c"), (2, "a b. C!"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = vocab_topk(docs, k=2).collect()
+    assert [(r["token"], r["freq"]) for r in rows] == [("b", 3), ("a", 2)]
+    # tie at the cut: deterministic lexicographic break
+    rows3 = vocab_topk(docs, k=3).collect()
+    assert [(r["token"], r["freq"]) for r in rows3] == [
+        ("b", 3), ("a", 2), ("c", 2),
+    ]
