@@ -412,6 +412,30 @@ def _q_kcore(spark, sf):
     return kcore(coorder_edges(spark, sf), k=80).core
 
 
+def _q_clustering(spark, sf):
+    """Local clustering coefficient per vertex — reuses the
+    degree-ordered triangle counter (wedges bounded by arboricity)
+    plus one vertex-sized degree join."""
+    from louvain_communities_openmp_spark.operators.linkpred import (
+        clustering_coefficient,
+    )
+
+    return clustering_coefficient(coorder_edges(spark, sf))
+
+
+def _q_common_neighbors(spark, sf):
+    """Top-100 vertex pairs by common-neighbor count (co-citation /
+    link-prediction score); hub pivots above degree 10k dropped before
+    the wedge join (no-op at test SFs, the quadratic guard at scale)."""
+    from louvain_communities_openmp_spark.operators.linkpred import (
+        common_neighbors_topk,
+    )
+
+    return common_neighbors_topk(
+        coorder_edges(spark, sf), k=100, max_pivot_degree=10_000
+    )
+
+
 def _q_cosine_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.orderBy("vec_id").limit(10)
@@ -639,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_vocab_topk": _q_vocab_topk,
         "g_degree_hist": _q_degree_hist,
         "g_kcore80": _q_kcore,
+        "g_clustering": _q_clustering,
+        "g_common_neighbors100": _q_common_neighbors,
         "e_cosine_topk": _q_cosine_topk,
         "e_embed_neardup": _q_embed_neardup,
         "g_describe": _q_describe,
@@ -1459,6 +1485,39 @@ GROUP BY token ORDER BY freq DESC, token LIMIT 100""",
         "deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY src)\n"
         "SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree",
         "g_kcore80": _kcore_sql(k=80, rounds=12),
+        "g_clustering": f"WITH {_EDGES_CTE.strip()},\n"
+        """c AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS cc
+  FROM c e1 JOIN c e2 ON e1.dst = e2.src JOIN c e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+cnt AS (
+  SELECT id, count(*) AS t FROM (
+    SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT cc FROM tri
+  ) GROUP BY id
+),
+sym AS (SELECT src, dst FROM c UNION ALL SELECT dst, src FROM c),
+deg AS (SELECT src AS id, count(*) AS degree FROM sym GROUP BY src)
+SELECT d.id, d.degree, CAST(coalesce(cnt.t, 0) AS BIGINT) AS triangles,
+       round(CASE WHEN d.degree >= 2
+             THEN 2.0 * coalesce(cnt.t, 0) / (d.degree * (d.degree - 1.0))
+             ELSE 0.0 END, 6) AS lcc
+FROM deg d LEFT JOIN cnt ON d.id = cnt.id""",
+        "g_common_neighbors100": f"WITH {_EDGES_CTE.strip()},\n"
+        """c AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
+sym AS (SELECT src, dst FROM c UNION ALL SELECT dst, src FROM c),
+pd AS (SELECT src AS u, count(*) AS pdeg FROM sym GROUP BY src),
+piv AS (SELECT s.src, s.dst FROM sym s JOIN pd ON s.src = pd.u
+        WHERE pd.pdeg <= 10000),
+pairs AS (
+  SELECT l.dst AS a, r.dst AS b, count(*) AS common_neighbors
+  FROM piv l JOIN piv r ON l.src = r.src AND l.dst < r.dst
+  GROUP BY 1, 2
+)
+SELECT p.a, p.b, CAST(p.common_neighbors AS BIGINT) AS common_neighbors,
+       (e.src IS NOT NULL) AS is_edge
+FROM pairs p LEFT JOIN sym e ON e.src = p.a AND e.dst = p.b
+ORDER BY common_neighbors DESC, a, b LIMIT 100""",
         "d_minhash_sig": _minhash_sig_sql(),
         "d_ngram_pairs": _ngram_pairs_sql(),
         "d_simhash": _simhash_sql(),

@@ -1,0 +1,123 @@
+"""Neighborhood analytics: local clustering coefficient and
+common-neighbor (co-citation) pair ranking.
+
+Both consume the symmetric directed edge representation and evaluate
+on the simple undirected graph (self-loops dropped, duplicates
+collapsed) — the same canonicalization as triangles.py.
+
+Scale notes:
+- clustering_coefficient reuses the degree-ordered triangle counter
+  (wedge work bounded by arboricity: Σ outdeg² with outdeg = O(√E))
+  plus one vertex-sized join against the degree table.
+- common_neighbors_topk enumerates wedges by self-joining the
+  adjacency on the pivot vertex; wedge volume is Σ deg(pivot)², which
+  hubs dominate on power-law graphs. `max_pivot_degree` caps that
+  quadratic (the max_df boilerplate guard from dedup.py transplanted
+  to graphs): a pivot shared by >cap pages contributes similarity
+  signal near zero but cost near cap² — drop it. The final top-k is
+  TakeOrderedAndProject (per-partition heap), never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .triangles import triangle_count
+
+
+def _simple_undirected(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set as a SYMMETRIC pair table
+    (both directions present), self-loops dropped, duplicates
+    collapsed."""
+    c = (
+        edges.select("src", "dst")
+        .where(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    return c.unionAll(
+        c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex:
+    lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1)), 0.0 when deg < 2.
+    Returns (id, degree, triangles, lcc) with lcc rounded to 6
+    decimals for cross-engine hash stability."""
+    sym = _simple_undirected(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("degree")
+    )
+    tri = triangle_count(edges).per_vertex
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1.0)),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("lcc"),
+        )
+    )
+
+
+def common_neighbors_topk(
+    edges: DataFrame,
+    k: int = 100,
+    max_pivot_degree: int | None = None,
+) -> DataFrame:
+    """Top-k vertex pairs by common-neighbor count (co-citation
+    similarity / link-prediction score). Returns
+    (a, b, common_neighbors, is_edge) with a < b, ranked by
+    (count desc, a, b) — fully deterministic.
+
+    Wedges are enumerated by a self-join of the symmetric adjacency on
+    the pivot; `max_pivot_degree` (if set) drops hub pivots BEFORE the
+    join, bounding the per-pivot quadratic. `is_edge` marks pairs that
+    are already adjacent (link prediction ranks the non-adjacent ones).
+    """
+    sym = _simple_undirected(edges)
+    piv = sym
+    if max_pivot_degree is not None:
+        pd = sym.groupBy(F.col("src").alias("u")).agg(
+            F.count("*").alias("pdeg")
+        )
+        piv = (
+            sym.join(
+                pd.where(F.col("pdeg") <= max_pivot_degree), sym.src == pd.u
+            )
+            .select("src", "dst")
+        )
+    # wedge: pivot u adjacent to both a and b, a < b
+    left = piv.select(F.col("src").alias("u"), F.col("dst").alias("a"))
+    right = piv.select(F.col("src").alias("u"), F.col("dst").alias("b"))
+    pairs = (
+        left.join(right, "u")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    adj = sym.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), F.lit(True).alias("is_edge")
+    )
+    return (
+        pairs.join(adj, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            F.coalesce("is_edge", F.lit(False)).alias("is_edge"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(), F.col("a").asc(), F.col("b").asc()
+        )
+        .limit(k)
+    )

@@ -129,3 +129,50 @@ def test_kcore_peeling(spark):
         [(7, 7, 1.0), (7, 8, 1.0), (8, 7, 1.0)], "src long, dst long, w double"
     )
     assert kcore(e_loop, k=2).core.count() == 0
+
+
+def test_clustering_coefficient(spark):
+    from louvain_communities_openmp_spark.operators.linkpred import (
+        clustering_coefficient,
+    )
+
+    # triangle 0-1-2 plus a pendant 2-3
+    und = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    got = {r["id"]: r for r in clustering_coefficient(e).collect()}
+    assert got[0]["lcc"] == 1.0 and got[0]["degree"] == 2
+    assert got[1]["lcc"] == 1.0
+    # vertex 2: degree 3, one closed pair of three -> 1/3
+    assert abs(got[2]["lcc"] - round(1 / 3, 6)) < 1e-9
+    assert got[3]["lcc"] == 0.0 and got[3]["triangles"] == 0
+
+
+def test_common_neighbors_topk(spark):
+    from louvain_communities_openmp_spark.operators.linkpred import (
+        common_neighbors_topk,
+    )
+
+    # star: 0 connected to 1..4; plus edge 1-2
+    und = [(0, i) for i in range(1, 5)] + [(1, 2)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    rows = common_neighbors_topk(e, k=8).collect()
+    # every pair here shares exactly one neighbor; deterministic
+    # (cn desc, a, b) order and correct is_edge flags
+    assert [r["common_neighbors"] for r in rows] == [1] * 8
+    assert [(r["a"], r["b"]) for r in rows] == [
+        (0, 1), (0, 2), (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+    ]
+    by_pair = {(r["a"], r["b"]): r["is_edge"] for r in rows}
+    assert by_pair[(0, 1)] is True and by_pair[(1, 2)] is True
+    assert by_pair[(3, 4)] is False and by_pair[(1, 3)] is False
+
+    # hub cap: capping pivot degree below the star hub's 4 removes all
+    # pairs that only share the hub
+    capped = common_neighbors_topk(e, k=10, max_pivot_degree=3).collect()
+    assert all((r["a"], r["b"]) != (3, 4) for r in capped)
