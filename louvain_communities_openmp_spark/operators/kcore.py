@@ -11,11 +11,17 @@ main.sh:30-41 — this operator is the cleaning step re-expressed as a
 first-class dataflow op).
 
 Scale design: the edge table is filtered to non-self-loops, partitioned
-ONCE on its per-round join key (`src`) and persisted; each peel round
-joins the vertex-sized alive set against it twice (both endpoints must
-survive) and re-aggregates degrees — so the per-round exchange is
-O(V_alive), never O(E). Alive sets are eagerly localCheckpointed to
-truncate the per-round lineage (same pattern as components/labelprop).
+ONCE on its per-round join key (`dst`) and persisted; each peel round
+makes ONE pass shaped like the components round: join the vertex-sized
+alive set on `dst` (edges never move), groupBy(src).count() with full
+map-side combine (the exchange is bounded by distinct-src-per-partition,
+vertex-sized), then a vertex-sized semi-join to require the src itself
+alive. Joining alive on BOTH endpoints directly would reshuffle the
+edge-sized intermediate on the second key every round — the formulation
+here counts dead-src edges and discards them one join later instead,
+trading a few counted-then-dropped rows for an O(E)-per-round exchange.
+Alive sets are eagerly localCheckpointed to truncate the per-round
+lineage (same pattern as components/labelprop).
 Round count is bounded by the peeling depth, which is small on
 power-law graphs (most low-degree vertices fall in the first rounds);
 the pathological O(V/k) chain case is bounded by `max_iter`.
@@ -52,7 +58,7 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 500) -> KCoreResult:
     e = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
-        .repartition("src")
+        .repartition("dst")
         .persist()
     )
     alive = vertices(edges).localCheckpoint(eager=True)
@@ -61,16 +67,15 @@ def kcore(edges: DataFrame, k: int, max_iter: int = 500) -> KCoreResult:
     deg = None
     while it < max_iter and n_alive > 0:
         it += 1
-        # degree restricted to edges whose BOTH endpoints survive;
-        # the two joins ship only the vertex-sized alive set — the
-        # partitioned edge table never moves
+        # one components-shaped round: edges stay put (partitioned on
+        # dst), only vertex-sized frames move — alive into the dst
+        # join, the combined per-src counts into the agg exchange,
+        # alive again into the src semi-join
         deg = (
-            e.join(alive.withColumnRenamed("id", "src"), "src")
-            .join(
-                alive.withColumnRenamed("id", "dst"), "dst"
-            )
+            e.join(alive.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"))
             .agg(F.count("*").alias("deg_in_core"))
+            .join(alive, "id")
             .where(F.col("deg_in_core") >= k)
             .localCheckpoint(eager=True)
         )
