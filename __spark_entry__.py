@@ -436,6 +436,41 @@ def _q_common_neighbors(spark, sf):
     )
 
 
+def _q_bigram_topk(spark, sf):
+    """Top-100 word bigrams with counts — phrase statistics; same
+    codegen-enumerate + map-side-combine + TakeOrderedAndProject shape
+    as d_vocab_topk."""
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        ngram_freq_topk,
+    )
+
+    return ngram_freq_topk(_docs(spark, sf), n=2, k=100)
+
+
+def _q_adamic_adar(spark, sf):
+    """Adamic-Adar link-prediction scores for the top-100
+    common-neighbor pairs; ranked by the integer (cn, a, b) key so the
+    row set is engine-portable, score rounded to 6."""
+    from louvain_communities_openmp_spark.operators.linkpred import (
+        adamic_adar_topk,
+    )
+
+    return adamic_adar_topk(
+        coorder_edges(spark, sf), k=100, max_pivot_degree=10_000
+    )
+
+
+def _q_label_centroids(spark, sf):
+    """Per-label embedding centroids in long form (label, pos,
+    centroid_val, n_vectors) — the IVF training step as a query; one
+    map-side-combined shuffle."""
+    from louvain_communities_openmp_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    return label_centroids(spark.read.parquet(f"{sf}/embeddings.parquet"))
+
+
 def _q_cosine_topk(spark, sf):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.orderBy("vec_id").limit(10)
@@ -665,6 +700,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_kcore80": _q_kcore,
         "g_clustering": _q_clustering,
         "g_common_neighbors100": _q_common_neighbors,
+        "g_adamic_adar100": _q_adamic_adar,
+        "d_bigram_topk": _q_bigram_topk,
+        "e_label_centroids": _q_label_centroids,
         "e_cosine_topk": _q_cosine_topk,
         "e_embed_neardup": _q_embed_neardup,
         "g_describe": _q_describe,
@@ -1485,6 +1523,39 @@ GROUP BY token ORDER BY freq DESC, token LIMIT 100""",
         "deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY src)\n"
         "SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree",
         "g_kcore80": _kcore_sql(k=80, rounds=12),
+        "g_adamic_adar100": f"WITH {_EDGES_CTE.strip()},\n"
+        """c AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
+sym AS (SELECT src, dst FROM c UNION ALL SELECT dst, src FROM c),
+pd AS (SELECT src AS u, count(*) AS pdeg FROM sym GROUP BY src
+       HAVING count(*) <= 10000),
+piv AS (SELECT pd.u, s.dst, pd.pdeg FROM sym s JOIN pd ON s.src = pd.u)
+SELECT l.dst AS a, r.dst AS b,
+       CAST(count(*) AS BIGINT) AS common_neighbors,
+       round(sum(1.0 / ln(l.pdeg)), 6) AS aa_score
+FROM piv l JOIN piv r ON l.u = r.u AND l.dst < r.dst
+GROUP BY 1, 2
+ORDER BY common_neighbors DESC, a, b LIMIT 100""",
+        "d_bigram_topk": f"""
+WITH toks AS (
+  SELECT {_toks('text')} AS t FROM documents WHERE {_norm('text')} <> ''
+),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS ngram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT ngram, CAST(count(*) AS BIGINT) AS freq FROM grams
+GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 100""",
+        "e_label_centroids": """
+SELECT label, pos, round(avg(val), 6) AS centroid_val,
+       count(*) AS n_vectors
+FROM (
+  SELECT CAST(label AS BIGINT) AS label,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+)
+GROUP BY label, pos""",
         "g_clustering": f"WITH {_EDGES_CTE.strip()},\n"
         """c AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
 tri AS (

@@ -121,3 +121,44 @@ def common_neighbors_topk(
         )
         .limit(k)
     )
+
+
+def adamic_adar_topk(
+    edges: DataFrame,
+    k: int = 100,
+    max_pivot_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor pairs with their Adamic-Adar score
+    aa = Σ_{u ∈ CN(a,b)} 1/ln(deg(u)) — the degree-discounted
+    link-prediction score (hub co-neighbors count less). Returns
+    (a, b, common_neighbors, aa_score) ranked by the INTEGER key
+    (common_neighbors desc, a, b): deterministic and engine-portable,
+    unlike ranking by the float score whose summation order differs
+    across engines. aa_score is rounded to 6 decimals.
+
+    Same wedge plan and hub cap as common_neighbors_topk — the pivot
+    degree is already on the wedge row, so the score is one extra
+    map-side-combined SUM in the same shuffle.
+    """
+    sym = _simple_undirected(edges)
+    pd = sym.groupBy(F.col("src").alias("u")).agg(F.count("*").alias("pdeg"))
+    if max_pivot_degree is not None:
+        pd = pd.where(F.col("pdeg") <= max_pivot_degree)
+    piv = sym.join(pd, sym.src == pd.u).select(
+        F.col("u"), F.col("dst"), F.col("pdeg")
+    )
+    left = piv.select("u", F.col("dst").alias("a"), "pdeg")
+    right = piv.select("u", F.col("dst").alias("b"))
+    return (
+        left.join(right, "u")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.log(F.col("pdeg"))), 6).alias("aa_score"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(), F.col("a").asc(), F.col("b").asc()
+        )
+        .limit(k)
+    )

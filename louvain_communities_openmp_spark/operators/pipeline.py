@@ -137,3 +137,31 @@ def vocab_topk(
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def ngram_freq_topk(
+    docs: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k word n-grams with counts, ties broken lexicographically.
+    Returns (ngram, freq) — the phrase-statistics companion of
+    vocab_topk (n=1 reduces to it). Same scale shape: codegen n-gram
+    enumeration (sequence + slice, no Python), one map-side-combined
+    shuffle, TakeOrderedAndProject top-k."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    grams = F.when(n_tok < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_tok - (n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        )
+    )
+    return (
+        docs.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

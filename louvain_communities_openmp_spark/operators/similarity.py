@@ -294,3 +294,34 @@ def cosine_topk_ivf(
         .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+def label_centroids(emb: DataFrame, round_to: int = 6) -> DataFrame:
+    """Per-label embedding centroids as LONG-FORM rows
+    (label, pos, centroid_val) with pos 1-based — the IVF coarse-index
+    training step exposed as a first-class query (and the shape a
+    cross-engine oracle can hash: row-per-dimension avoids array-float
+    equality).
+
+    Scale shape: posexplode → groupBy(label, pos).avg() is ONE shuffle
+    with full map-side combine — each map partition emits at most
+    |labels|·dim partial rows regardless of vector count. Centroids are
+    rounded for engine-portable values (summation order differs across
+    engines; 1e-6 is far above double-accumulation jitter at any
+    realistic per-label count).
+    """
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    )
+    return (
+        ex.groupBy(
+            F.col("label").cast("long").alias("label"),
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+        )
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), round_to).alias(
+                "centroid_val"
+            ),
+            F.count("*").alias("n_vectors"),
+        )
+    )

@@ -176,3 +176,30 @@ def test_common_neighbors_topk(spark):
     # pairs that only share the hub
     capped = common_neighbors_topk(e, k=10, max_pivot_degree=3).collect()
     assert all((r["a"], r["b"]) != (3, 4) for r in capped)
+
+
+def test_adamic_adar(spark):
+    import math
+
+    from louvain_communities_openmp_spark.operators.linkpred import (
+        adamic_adar_topk,
+    )
+
+    # pivots with different degrees: 0 (deg 4) and 5 (deg 2), both
+    # adjacent to 1 and 2 -> aa(1,2) = 1/ln(4) + 1/ln(2)
+    und = [(0, 1), (0, 2), (0, 3), (0, 4), (5, 1), (5, 2)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    rows = adamic_adar_topk(e, k=100).collect()
+    # cn=2 pairs: (0,5) via pivots 1,2 (deg 2 each) and (1,2) via
+    # pivots 0 (deg 4) and 5 (deg 2); tie-break puts (0,5) first
+    assert (rows[0]["a"], rows[0]["b"]) == (0, 5)
+    assert abs(rows[0]["aa_score"] - round(2 / math.log(2), 6)) < 1e-9
+    top = rows[1]
+    assert (top["a"], top["b"]) == (1, 2) and top["common_neighbors"] == 2
+    assert abs(top["aa_score"] - round(1 / math.log(4) + 1 / math.log(2), 6)) < 1e-9
+    # single-pivot pairs score 1/ln(deg(pivot 0)) = 1/ln(4)
+    one = {(r["a"], r["b"]): r["aa_score"] for r in rows if r["common_neighbors"] == 1}
+    assert abs(one[(3, 4)] - round(1 / math.log(4), 6)) < 1e-9

@@ -408,3 +408,46 @@ def test_vocab_topk_counts_and_ties(spark):
     assert [(r["token"], r["freq"]) for r in rows3] == [
         ("b", 3), ("a", 2), ("c", 2),
     ]
+
+
+def test_ngram_freq_topk(spark):
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        ngram_freq_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    rows = ngram_freq_topk(docs, n=2, k=10).collect()
+    got = [(r["ngram"], r["freq"]) for r in rows]
+    # doc1 bigrams: (a b),(b c),(c a),(a b); doc2: (a b); docs 3/4 too short
+    assert got[0] == ("a b", 3)
+    assert set(got[1:]) == {("b c", 1), ("c a", 1)}
+    assert got[1] == ("b c", 1)  # lexicographic tie-break
+
+    # trigrams
+    tri = ngram_freq_topk(docs, n=3, k=10).collect()
+    assert {(r["ngram"], r["freq"]) for r in tri} == {
+        ("a b c", 1), ("b c a", 1), ("c a b", 1),
+    }
+
+
+def test_label_centroids(spark):
+    from louvain_communities_openmp_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7),
+            (2, [3.0, 2.0], 7),
+            (3, [5.0, 5.0], 9),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {(r["label"], r["pos"]): r for r in label_centroids(emb).collect()}
+    assert got[(7, 1)]["centroid_val"] == 2.0   # mean(1,3)
+    assert got[(7, 2)]["centroid_val"] == 1.0   # mean(0,2)
+    assert got[(7, 1)]["n_vectors"] == 2
+    assert got[(9, 1)]["centroid_val"] == 5.0 and got[(9, 1)]["n_vectors"] == 1
