@@ -412,6 +412,24 @@ def _q_kcore(spark, sf):
     return kcore(coorder_edges(spark, sf), k=80).core
 
 
+def _q_ppr3(spark, sf):
+    """3-iteration personalized PageRank seeded at ids ≡ 0 (mod 100)
+    — topic-sensitive ranking with the teleport vector on the seed
+    set; same unrolled-SQL verification strategy as g_pagerank3."""
+    from louvain_communities_openmp_spark.operators.pagerank import (
+        personalized_pagerank_fixed,
+    )
+
+    e = coorder_edges(spark, sf)
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .where(F.col("id") % 100 == 0)
+    )
+    return personalized_pagerank_fixed(e, seeds, alpha=0.85, iters=3)
+
+
 def _q_clustering(spark, sf):
     """Local clustering coefficient per vertex — reuses the
     degree-ordered triangle counter (wedges bounded by arboricity)
@@ -701,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_clustering": _q_clustering,
         "g_common_neighbors100": _q_common_neighbors,
         "g_adamic_adar100": _q_adamic_adar,
+        "g_ppr3": _q_ppr3,
         "d_bigram_topk": _q_bigram_topk,
         "e_label_centroids": _q_label_centroids,
         "e_cosine_topk": _q_cosine_topk,
@@ -1169,6 +1188,36 @@ r{t + 1} AS (
     )
 
 
+def _ppr3_sql(alpha: float = 0.85, iters: int = 3) -> str:
+    """Unrolled personalized PageRank (seeds: ids ≡ 0 mod 100) —
+    identical dynamics to operators.pagerank.personalized_pagerank_fixed."""
+    ctes = [
+        _EDGES_CTE.strip(),
+        "vt AS (SELECT src AS id, sum(w) AS vtot FROM edges GROUP BY src)",
+        "sc AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM vt WHERE id % 100 = 0)",
+        "sv AS (SELECT v.id, CASE WHEN v.id % 100 = 0 THEN 1.0/sc.ns ELSE 0.0 END AS s "
+        "FROM vt v CROSS JOIN sc)",
+        "p0 AS (SELECT id, s AS rank FROM sv)",
+    ]
+    for t in range(iters):
+        ctes.append(f"""
+p{t + 1} AS (
+  SELECT v.id,
+         (1.0 - {alpha}) * v.s + {alpha} * coalesce(c.x, 0.0) AS rank
+  FROM sv v
+  LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank * e.w / v2.vtot) AS x
+    FROM edges e JOIN p{t} r ON e.src = r.id JOIN vt v2 ON e.src = v2.id
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 7) AS rank FROM p{iters}"
+    )
+
+
 def _kcore_sql(k: int = 80, rounds: int = 12) -> str:
     """k-core peeling unrolled to a fixed depth — identical dynamics
     to operators.kcore.kcore, which iterates to fixpoint. Alive sets
@@ -1523,6 +1572,7 @@ GROUP BY token ORDER BY freq DESC, token LIMIT 100""",
         "deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY src)\n"
         "SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree",
         "g_kcore80": _kcore_sql(k=80, rounds=12),
+        "g_ppr3": _ppr3_sql(),
         "g_adamic_adar100": f"WITH {_EDGES_CTE.strip()},\n"
         """c AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
 sym AS (SELECT src, dst FROM c UNION ALL SELECT dst, src FROM c),

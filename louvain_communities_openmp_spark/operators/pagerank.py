@@ -135,3 +135,55 @@ def pagerank_fixed(
             (F.lit((1.0 - alpha) / n) + F.lit(alpha) * F.coalesce("c", F.lit(0.0))).alias("rank"),
         )
     return ranks.select("id", F.round("rank", 7).alias("rank"))
+
+
+def personalized_pagerank_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    alpha: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PERSONALIZED PageRank: teleport mass returns to
+    the seed set instead of the uniform vector —
+        r_{t+1}(v) = (1−α)·s(v) + α·Σ_{u→v} r_t(u)·w(u,v)/vtot(u),
+    s = uniform over `seeds` (a (id) frame). Topic-sensitive ranking
+    around a page set, the standard crawl-frontier / related-pages
+    primitive. No dangling redistribution — intended for sink-free
+    (symmetric) graphs, like pagerank_fixed, and for the same reason:
+    the computation unrolls to ANSI SQL for cross-engine verification.
+    Returns (id, rank) rounded to 7dp.
+
+    Scale shape identical to pagerank: the normalized transition table
+    is partitioned on the join key once; each iteration is one
+    vertex-sized join + one map-side-combined aggregation. The seed
+    vector is vertex-sized and enters only the per-iteration base term
+    (a broadcast-sized left join when |seeds| ≪ V).
+    """
+    vt = vertex_weights(edges).persist()
+    trans = (
+        edges.join(vt.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.col("w") / F.col("vtot")).alias("p"))
+        .repartition("src")
+        .persist()
+    )
+    s = seeds.select("id").distinct()
+    n_seeds = s.count()
+    sv = s.withColumn("s", F.lit(1.0 / n_seeds))
+    base = vt.select("id").join(sv, "id", "left").select(
+        "id", F.coalesce("s", F.lit(0.0)).alias("s")
+    ).persist()
+    ranks = base.select("id", F.col("s").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            trans.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
+        )
+        ranks = base.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - alpha) * F.col("s")
+                + F.lit(alpha) * F.coalesce("c", F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("id", F.round("rank", 7).alias("rank"))

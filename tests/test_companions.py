@@ -203,3 +203,41 @@ def test_adamic_adar(spark):
     # single-pivot pairs score 1/ln(deg(pivot 0)) = 1/ln(4)
     one = {(r["a"], r["b"]): r["aa_score"] for r in rows if r["common_neighbors"] == 1}
     assert abs(one[(3, 4)] - round(1 / math.log(4), 6)) < 1e-9
+
+
+def test_personalized_pagerank(spark):
+    from louvain_communities_openmp_spark.operators.pagerank import (
+        personalized_pagerank_fixed,
+    )
+
+    # two 3-cliques joined by a bridge 2-3; seed on vertex 0
+    und = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r["id"]: r["rank"]
+        for r in personalized_pagerank_fixed(e, seeds, iters=8).collect()
+    }
+    # numpy oracle: same recurrence
+    import numpy as np
+
+    adj = {i: [] for i in range(6)}
+    for a, b in und:
+        adj[a].append(b)
+        adj[b].append(a)
+    s = np.zeros(6)
+    s[0] = 1.0
+    r = s.copy()
+    for _ in range(8):
+        nxt = 0.15 * s
+        for u in range(6):
+            for v in adj[u]:
+                nxt[v] += 0.85 * r[u] / len(adj[u])
+        r = nxt
+    for i in range(6):
+        assert abs(got[i] - round(r[i], 7)) < 1e-9, i
+    # teleport locality: seed-side clique outranks the far clique
+    assert got[0] > got[5] and got[1] > got[4]
