@@ -430,6 +430,16 @@ def _q_ppr3(spark, sf):
     return personalized_pagerank_fixed(e, seeds, alpha=0.85, iters=3)
 
 
+def _q_assortativity(spark, sf):
+    """Degree assortativity (Pearson corr of endpoint degrees on the
+    symmetric simple graph) — one-row structural summary."""
+    from louvain_communities_openmp_spark.operators.linkpred import (
+        degree_assortativity,
+    )
+
+    return degree_assortativity(coorder_edges(spark, sf))
+
+
 def _q_clustering(spark, sf):
     """Local clustering coefficient per vertex — reuses the
     degree-ordered triangle counter (wedges bounded by arboricity)
@@ -720,6 +730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_common_neighbors100": _q_common_neighbors,
         "g_adamic_adar100": _q_adamic_adar,
         "g_ppr3": _q_ppr3,
+        "g_assortativity": _q_assortativity,
         "d_bigram_topk": _q_bigram_topk,
         "e_label_centroids": _q_label_centroids,
         "e_cosine_topk": _q_cosine_topk,
@@ -1573,6 +1584,14 @@ GROUP BY token ORDER BY freq DESC, token LIMIT 100""",
         "SELECT degree, count(*) AS n_vertices FROM deg GROUP BY degree",
         "g_kcore80": _kcore_sql(k=80, rounds=12),
         "g_ppr3": _ppr3_sql(),
+        "g_assortativity": f"WITH {_EDGES_CTE.strip()},\n"
+        """c AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
+sym AS (SELECT src, dst FROM c UNION ALL SELECT dst, src FROM c),
+deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src)
+SELECT round(corr(CAST(ds.deg AS DOUBLE), CAST(dd.deg AS DOUBLE)), 6)
+         AS assortativity,
+       count(*) AS n_edges
+FROM sym s JOIN deg ds ON s.src = ds.id JOIN deg dd ON s.dst = dd.id""",
         "g_adamic_adar100": f"WITH {_EDGES_CTE.strip()},\n"
         """c AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
 sym AS (SELECT src, dst FROM c UNION ALL SELECT dst, src FROM c),

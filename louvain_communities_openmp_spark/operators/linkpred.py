@@ -162,3 +162,44 @@ def adamic_adar_topk(
         )
         .limit(k)
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient: the Pearson correlation of
+    (deg(src), deg(dst)) over the symmetric edge list — positive on
+    social-like graphs (hubs link hubs), negative on web/biological
+    graphs (hubs link leaves). One row (assortativity, n_edges),
+    rounded to 6.
+
+    Scale shape: one vertex-sized degree aggregation, two joins that
+    broadcast the degree table when small (AQE decides), and corr()
+    as a single-pass algebraic aggregate — no quadratic anywhere.
+    """
+    sym = _simple_undirected(edges)
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+    ann = (
+        sym.join(
+            deg.select(F.col("id").alias("src"), F.col("deg").alias("sdeg")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg")),
+            "dst",
+        )
+    )
+    x = F.col("sdeg").cast("double")
+    y = F.col("ddeg").cast("double")
+    # corr spelled as covar/(σx·σy) with try_divide: a zero-variance
+    # side (regular graph) yields NULL like DuckDB's corr(), instead
+    # of the DIVIDE_BY_ZERO that ANSI-mode F.corr raises
+    return ann.agg(
+        F.round(
+            F.try_divide(
+                F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y)
+            ),
+            6,
+        ).alias("assortativity"),
+        F.count("*").alias("n_edges"),
+    )

@@ -241,3 +241,27 @@ def test_personalized_pagerank(spark):
         assert abs(got[i] - round(r[i], 7)) < 1e-9, i
     # teleport locality: seed-side clique outranks the far clique
     assert got[0] > got[5] and got[1] > got[4]
+
+
+def test_degree_assortativity(spark):
+    from louvain_communities_openmp_spark.operators.linkpred import (
+        degree_assortativity,
+    )
+
+    # star: every edge joins the deg-5 hub to a deg-1 leaf -> r = -1
+    und = [(0, i) for i in range(1, 6)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    row = degree_assortativity(e).collect()[0]
+    assert row["assortativity"] == -1.0
+    assert row["n_edges"] == 10  # symmetric count
+
+    # 4-clique: all degrees equal -> corr undefined (NULL)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    e2 = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in k4], "src long, dst long, w double"
+    )
+    row2 = degree_assortativity(e2).collect()[0]
+    assert row2["assortativity"] is None
