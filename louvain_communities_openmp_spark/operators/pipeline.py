@@ -27,6 +27,39 @@ from pyspark.sql import functions as F
 from ..functions.text import lang_id, quality_features, tokens
 
 
+def gated_features(
+    docs: DataFrame,
+    min_tokens: int = 10,
+    max_tokens: int = 1_000_000,
+    min_alpha_ratio: float = 0.0,
+    langs: Sequence[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-gated, language-filtered documents with their feature
+    columns (doc_id, text_hash, lang_pred, n_tokens, n_chars,
+    alpha_ratio) — the map-side half of clean_corpus, shared with the
+    streaming ingest path (streaming/doc_stream.py). Pure Catalyst
+    expressions; works on batch and streaming frames alike."""
+    n_chars, n_tokens, _mean, alpha, _stop = quality_features(F.col(text_col))
+    feats = docs.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("text_hash"),
+        lang_id(F.col(text_col)).alias("lang_pred"),
+        n_tokens,
+        n_chars,
+        alpha,
+    )
+    gated = feats.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+    )
+    if langs is not None:
+        gated = gated.where(F.col("lang_pred").isin(list(langs)))
+    return gated
+
+
 def clean_corpus(
     docs: DataFrame,
     min_tokens: int = 10,
@@ -44,22 +77,9 @@ def clean_corpus(
     cross-engine verifiable; alpha_ratio is rounded to 6 decimals
     BEFORE the threshold compare to keep the boundary engine-portable.
     """
-    n_chars, n_tokens, _mean, alpha, _stop = quality_features(F.col(text_col))
-    feats = docs.select(
-        F.col(id_col),
-        F.md5(F.col(text_col)).alias("text_hash"),
-        lang_id(F.col(text_col)).alias("lang_pred"),
-        n_tokens,
-        n_chars,
-        alpha,
+    gated = gated_features(
+        docs, min_tokens, max_tokens, min_alpha_ratio, langs, text_col, id_col
     )
-    gated = feats.where(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("n_tokens") <= max_tokens)
-        & (F.col("alpha_ratio") >= min_alpha_ratio)
-    )
-    if langs is not None:
-        gated = gated.where(F.col("lang_pred").isin(list(langs)))
     w = Window.partitionBy("text_hash").orderBy(F.col(id_col).asc())
     return (
         gated.withColumn("rn", F.row_number().over(w))

@@ -109,3 +109,80 @@ def test_dynamic_louvain_warm_start_over_versions(spark, tmp_path):
     # membership snapshot persisted and loadable per version
     m1 = dl.load_membership(1)
     assert m1.count() == m1.select("id").distinct().count()
+
+
+def test_doc_ingest_stream_dedup_and_parity(spark, tmp_path):
+    from louvain_communities_openmp_spark.operators.pipeline import clean_corpus
+    from louvain_communities_openmp_spark.streaming.doc_stream import (
+        DOC_SCHEMA,
+        start_doc_ingest_stream,
+    )
+
+    docs_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "docs_kept")
+    os.makedirs(docs_dir)
+
+    rows = [
+        # file 1: two good docs, one dup-of-itself later, one too short
+        [(1, "the quick brown fox jumps over the lazy dog again today", "en"),
+         (2, "completely different content about spark and the catalyst", "en"),
+         (3, "x", "en")],
+        # file 2: doc 4 duplicates doc 1's text (cross-batch dedup),
+        # doc 5 is fresh
+        [(4, "the quick brown fox jumps over the lazy dog again today", "en"),
+         (5, "der schnelle braune fuchs ist nicht von der katze und das", "de")],
+    ]
+    for i, batch in enumerate(rows):
+        df = spark.createDataFrame(
+            [(d, t, lg, "s", len(t)) for d, t, lg in batch], DOC_SCHEMA
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{docs_dir}/f{i}")
+    # the file source watches a flat dir: move part files up in order
+    import glob
+    import shutil
+    import time
+
+    for i in range(len(rows)):
+        part = glob.glob(f"{docs_dir}/f{i}/part-*.parquet")[0]
+        shutil.move(part, f"{docs_dir}/{i:04d}.parquet")
+        os.utime(f"{docs_dir}/{i:04d}.parquet", (time.time() + i, time.time() + i))
+        shutil.rmtree(f"{docs_dir}/f{i}")
+
+    q = start_doc_ingest_stream(
+        spark, docs_dir, out_dir, min_tokens=3, max_tokens=100, langs=("en", "de")
+    )
+    q.awaitTermination(120)
+
+    kept = spark.read.parquet(out_dir)
+    got = {r["doc_id"]: r for r in kept.collect()}
+    assert set(got) == {1, 2, 5}          # 3 gated out, 4 deduped vs 1
+    assert got[5]["lang_pred"] == "de"
+
+    # files arrived in doc_id order -> first-accepted == global min:
+    # exact parity with the batch operator
+    all_docs = spark.createDataFrame(
+        [(d, t, lg, "s", len(t)) for b in rows for d, t, lg in b], DOC_SCHEMA
+    )
+    want = {
+        r["doc_id"]: r
+        for r in clean_corpus(
+            all_docs, min_tokens=3, max_tokens=100, langs=("en", "de")
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d]["n_tokens"] == want[d]["n_tokens"]
+        assert got[d]["lang_pred"] == want[d]["lang_pred"]
+
+    # replay idempotence: re-running the same batch appends nothing
+    from louvain_communities_openmp_spark.streaming.doc_stream import (
+        ingest_batch,
+    )
+
+    replay = spark.createDataFrame(
+        [(d, t, lg, "s", len(t)) for d, t, lg in rows[1]], DOC_SCHEMA
+    )
+    assert ingest_batch(
+        spark, replay, out_dir, min_tokens=3, max_tokens=100,
+        langs=("en", "de"),
+    ) == 0
