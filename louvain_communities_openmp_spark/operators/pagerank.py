@@ -168,6 +168,8 @@ def personalized_pagerank_fixed(
     )
     s = seeds.select("id").distinct()
     n_seeds = s.count()
+    if n_seeds == 0:
+        raise ValueError("personalized pagerank needs a non-empty seed set")
     sv = s.withColumn("s", F.lit(1.0 / n_seeds))
     base = vt.select("id").join(sv, "id", "left").select(
         "id", F.coalesce("s", F.lit(0.0)).alias("s")
