@@ -691,6 +691,80 @@ def _q_community_degree(spark, sf):
     return community_total_degree(e, _mod64_membership(e))
 
 
+def _q_jaccard(spark, sf):
+    """Neighbor-set Jaccard for the top-100 common-neighbor pairs —
+    link-prediction companion of adamic-adar; same integer ranking
+    key, score rounded to 6."""
+    from louvain_communities_openmp_spark.operators.linkpred import (
+        jaccard_topk,
+    )
+
+    return jaccard_topk(
+        coorder_edges(spark, sf), k=100, max_pivot_degree=10_000
+    )
+
+
+def _q_harmonic(spark, sf):
+    """Sampled harmonic centrality (8 deterministic pivot sources,
+    Boldi-Vigna estimator shape): per-vertex sum of 1/d(s,v) via
+    multi-source frontier BFS; unreached vertices score 0."""
+    from louvain_communities_openmp_spark.operators.centrality import (
+        harmonic_centrality,
+    )
+
+    return harmonic_centrality(coorder_edges(spark, sf), n_sources=8).scores
+
+
+def _q_tfidf(spark, sf):
+    """Per-document top-3 TF-IDF terms; ranked on the rounded score +
+    lexicographic tiebreak (engine-portable cut)."""
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        tfidf_topk_per_doc,
+    )
+
+    return tfidf_topk_per_doc(_docs(spark, sf), k_per_doc=3)
+
+
+def _q_unigram_lm(spark, sf):
+    """Per-document mean unigram log-likelihood under the corpus's own
+    ML unigram model — the perplexity-filter stand-in quality signal."""
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        unigram_lm_score,
+    )
+
+    return unigram_lm_score(_docs(spark, sf))
+
+
+def _q_chunk_dedup(spark, sf):
+    """Cross-document chunk-level dedup summary (C4-style boilerplate
+    pass): chunks repeated across >=2 docs dropped everywhere except
+    their canonical occurrence."""
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        chunk_dedup,
+    )
+
+    return chunk_dedup(_docs(spark, sf))
+
+
+def _q_pii_redact(spark, sf):
+    """PII scrub: email/phone masks + match counts. The synthetic
+    corpus is PII-free so counts are 0 here — the md5 of the redacted
+    text still verifies the replace is a cross-engine no-op on clean
+    text; planted-fixture pytest (tests/test_pipeline_ops.py) verifies
+    the positive case."""
+    from louvain_communities_openmp_spark.functions.text import (
+        pii_counts,
+        redact_pii,
+    )
+
+    d = _docs(spark, sf)
+    return d.select(
+        "doc_id",
+        F.md5(redact_pii(F.col("text"))).alias("red_hash"),
+        *pii_counts(F.col("text")),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g_edges": _q_edges,
@@ -749,6 +823,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_frame_sample": _q_frame_sample,
         "ev_hourly": _q_events_hourly,
         "ev_sessions": _q_events_sessions,
+        "g_jaccard100": _q_jaccard,
+        "g_harmonic8": _q_harmonic,
+        "d_tfidf_top3": _q_tfidf,
+        "d_unigram_lm": _q_unigram_lm,
+        "d_chunk_dedup": _q_chunk_dedup,
+        "d_pii_redact": _q_pii_redact,
     }
 
 
@@ -1258,6 +1338,48 @@ WHERE (SELECT count(*) FROM a{rounds - 1}) <> (SELECT count(*) FROM a{rounds})""
     )
 
 
+def _harmonic_sql(n_sources: int = 8, rounds: int = 12) -> str:
+    """Multi-source BFS unrolled to a fixed depth — min-plus closure
+    per (source, vertex), identical dynamics to
+    operators.centrality.harmonic_centrality, which iterates until the
+    frontier drains. Convergence sentinel (-1, -97) appended if the
+    last unrolled round still shortened any distance, so insufficient
+    depth fails loudly (same pattern as _components_sql)."""
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges "
+        "UNION SELECT dst FROM edges)",
+        f"srcs AS MATERIALIZED (SELECT id FROM verts ORDER BY id "
+        f"LIMIT {n_sources})",
+        "b0 AS MATERIALIZED (SELECT id AS s, id, CAST(0 AS BIGINT) AS dist "
+        "FROM srcs)",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""
+b{k + 1} AS MATERIALIZED (
+  SELECT s, id, min(dist) AS dist FROM (
+    SELECT s, id, dist FROM b{k}
+    UNION ALL
+    SELECT q.s, e.dst AS id, q.dist + 1 AS dist
+    FROM edges e JOIN b{k} q ON e.src = q.id
+  ) GROUP BY s, id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT v.id, round(coalesce(h.h, 0.0), 6) AS harmonic
+FROM verts v LEFT JOIN (
+  SELECT id, sum(1.0 / dist) AS h FROM b{rounds} WHERE dist > 0 GROUP BY id
+) h ON v.id = h.id
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-97 AS DOUBLE) WHERE EXISTS (
+  SELECT 1 FROM b{rounds} a LEFT JOIN b{rounds - 1} pr
+  ON a.s = pr.s AND a.id = pr.id
+  WHERE pr.id IS NULL OR a.dist <> pr.dist)"""
+    )
+
+
 def _components_sql(rounds: int = 16) -> str:
     """Hash-min label propagation unrolled to a fixed round count —
     identical dynamics to operators.components.connected_components,
@@ -1686,6 +1808,109 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 6) AS value_sum
 FROM events GROUP BY 1, 2""",
     }
+    out["g_jaccard100"] = (
+        f"WITH {_EDGES_CTE.strip()},\n"
+        """c AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
+sym AS (SELECT src, dst FROM c UNION ALL SELECT dst, src FROM c),
+pd AS (SELECT src AS u, count(*) AS pdeg FROM sym GROUP BY src
+       HAVING count(*) <= 10000),
+piv AS (SELECT pd.u, s.dst FROM sym s JOIN pd ON s.src = pd.u),
+pairs AS (
+  SELECT l.dst AS a, r.dst AS b, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM piv l JOIN piv r ON l.u = r.u AND l.dst < r.dst
+  GROUP BY 1, 2
+  ORDER BY common_neighbors DESC, a, b LIMIT 100),
+deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src)
+SELECT a, b, common_neighbors,
+       round(common_neighbors
+             / CAST(da.deg + db.deg - common_neighbors AS DOUBLE), 6)
+         AS jaccard
+FROM pairs JOIN deg da ON pairs.a = da.id JOIN deg db ON pairs.b = db.id
+ORDER BY common_neighbors DESC, a, b"""
+    )
+    out["g_harmonic8"] = _harmonic_sql(n_sources=8, rounds=12)
+    out["d_tfidf_top3"] = f"""
+WITH tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_toks('text')}) AS token FROM documents
+        WHERE {_norm('text')} <> '')
+  GROUP BY doc_id, token
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         round(tf.tf * ln(CAST(nd.n AS DOUBLE) / dft.df), 6) AS tfidf
+  FROM tf JOIN dft ON tf.token = dft.token, nd
+)
+SELECT doc_id, token, tf, tfidf FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+) WHERE rn <= 3"""
+    out["d_unigram_lm"] = f"""
+WITH tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_toks('text')}) AS token FROM documents
+        WHERE {_norm('text')} <> '')
+  GROUP BY doc_id, token
+),
+tot AS (SELECT sum(tf) AS t FROM tf),
+uni AS (SELECT token, sum(tf) AS ctok FROM tf GROUP BY token),
+per AS (
+  SELECT tf.doc_id, sum(tf.tf) AS n_tokens,
+         round(sum(tf.tf * ln(uni.ctok / CAST(tot.t AS DOUBLE)))
+               / sum(tf.tf), 6) AS avg_logp
+  FROM tf JOIN uni ON tf.token = uni.token, tot
+  GROUP BY tf.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       per.avg_logp
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+    out["d_chunk_dedup"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN {_norm('text')} = '' THEN CAST([] AS VARCHAR[])
+              ELSE {_toks('text')} END AS t
+  FROM documents
+),
+s AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t), 48)) AS st
+  FROM toks
+),
+hh AS (
+  SELECT doc_id, CAST((st - 1) // 48 AS BIGINT) AS chunk_id,
+         md5(array_to_string(t[st:st + 63], ' ')) AS h
+  FROM s
+),
+grp AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM hh GROUP BY h),
+rnk AS (
+  SELECT doc_id, chunk_id, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_id) AS rn
+  FROM hh
+),
+per AS (
+  SELECT r.doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN g.ndocs >= 2 AND r.rn > 1 THEN 1 ELSE 0 END)
+           AS n_dropped
+  FROM rnk r JOIN grp g ON r.h = g.h GROUP BY r.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(per.n_chunks - per.n_dropped, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(per.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+    _email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _phone = "\\+?[0-9][0-9() -]{6,}[0-9]"
+    out["d_pii_redact"] = f"""
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(text, '{_email}', '<EMAIL>', 'g'),
+                          '{_phone}', '<PHONE>', 'g')) AS red_hash,
+       CAST(len(regexp_extract_all(text, '{_email}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(
+           regexp_replace(text, '{_email}', '<EMAIL>', 'g'),
+           '{_phone}')) AS INT) AS n_phones
+FROM documents"""
     # g_louvain (auto mode): oracle the SQL-derivable invariants — the
     # vertex stats come from the input edge table; n_components is the
     # oracle's OWN recursive-SQL component count (cross-engine value,

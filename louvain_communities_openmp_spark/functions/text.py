@@ -120,3 +120,43 @@ def minhash_hex(shingle_col: Column, seed: int) -> Column:
             shingle_col, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
         )
     )
+
+
+# PII redaction — the privacy-scrub pass of a training-data pipeline.
+# Pattern subset chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded repetition, no
+# lookaround, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9() -]{6,}[0-9]"
+
+
+def redact_pii(col) -> Column:
+    """Text with emails then phone numbers masked (<EMAIL>, <PHONE>).
+
+    Email runs FIRST so digit runs inside addresses are consumed before
+    the phone pattern sees them; the masks contain no digits, so the
+    two passes compose without re-matching. Pure Catalyst
+    regexp_replace — JVM-side, no Python.
+    """
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+
+
+def pii_counts(col) -> list[Column]:
+    """[n_emails, n_phones] matched in the column. Phones are counted
+    on the email-redacted text — same composition order as
+    redact_pii, so counts always agree with the masks present in its
+    output."""
+    return [
+        F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(col, EMAIL_RE, "<EMAIL>"),
+                F.lit(PHONE_RE),
+                0,
+            )
+        ).alias("n_phones"),
+    ]

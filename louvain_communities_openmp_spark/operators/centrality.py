@@ -1,0 +1,104 @@
+"""Sampled harmonic centrality via multi-source BFS.
+
+Harmonic centrality h(v) = sum over sources s != v of 1/d(s, v) — the
+standard closeness variant that is well-defined on disconnected graphs
+(unreachable pairs contribute 0). Exact all-pairs is O(V·E); the
+production estimator (Boldi–Vigna, "Axioms for centrality", 2014) runs
+BFS from a fixed sample of pivot sources and scales — that is what this
+operator computes, with a DETERMINISTIC pivot set (the k smallest
+vertex ids) so the result is an exact, oracle-checkable function of the
+input rather than a seeded estimate.
+
+Plan shape (the BFS frontier economics of bfs.py:22-55, carried
+per-source): state is a (s, id, dist) frame; each round expands the
+frontier through the edge table with one join + min-aggregate + anti
+join, all keyed on the vertex id, so per-round shuffle volume is
+O(frontier · k), never O(E). The edge table is persisted once and
+repartitioned on the join key; lineage is truncated with eager
+localCheckpoints (the pass-static repartition pattern of
+labelprop.py/components.py).
+
+Reference analog: the reference has no centrality operator — this is a
+web-scale link-graph companion in the spirit of the mandated PageRank
+(BASELINE.json north_rule), sharing its edge-table contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .transforms import vertices
+
+
+@dataclass
+class HarmonicResult:
+    scores: DataFrame  # (id long, harmonic double) — ALL vertices
+    n_sources: int
+    iterations: int
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    n_sources: int = 8,
+    max_iter: int = 64,
+) -> HarmonicResult:
+    """Harmonic centrality restricted to the k = ``n_sources`` pivot
+    sources with the smallest vertex ids (deterministic sample).
+
+    Directed semantics: d(s, v) follows edge direction, so scores rank
+    reachability-from-pivots (run on the symmetricized table for the
+    undirected score). Vertices unreached by every pivot score 0.
+    """
+    spark = edges.sparkSession
+    e = edges.select("src", "dst").repartition("src").persist()
+    srcs = (
+        vertices(edges).orderBy("id").limit(n_sources).select("id")
+    )
+    # visited: (s, id, dist); frontier: last round's newly reached rows
+    visited = (
+        srcs.select(
+            F.col("id").alias("s"),
+            F.col("id"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    it = 0
+    rounds_since_cp = 0
+    while it < max_iter:
+        nxt = (
+            e.join(frontier.select(F.col("id").alias("src"), "s", "dist"), "src")
+            .groupBy("s", F.col("dst").alias("id"))
+            .agg((F.min("dist") + 1).alias("dist"))
+            .join(visited.select("s", "id"), ["s", "id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        it += 1
+        if n == 0:
+            break
+        visited = visited.unionByName(nxt)
+        rounds_since_cp += 1
+        if rounds_since_cp >= 8:
+            visited = visited.localCheckpoint(eager=True)
+            rounds_since_cp = 0
+        frontier = nxt
+    per = (
+        visited.where(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.sum(1.0 / F.col("dist")).alias("h"))
+    )
+    scores = (
+        vertices(edges)
+        .join(per, "id", "left")
+        .select(
+            "id",
+            F.round(F.coalesce("h", F.lit(0.0)), 6).alias("harmonic"),
+        )
+    )
+    e.unpersist()
+    return HarmonicResult(scores, n_sources, it)

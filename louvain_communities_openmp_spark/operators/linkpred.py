@@ -164,6 +164,76 @@ def adamic_adar_topk(
     )
 
 
+def jaccard_topk(
+    edges: DataFrame,
+    k: int = 100,
+    max_pivot_degree: int | None = None,
+) -> DataFrame:
+    """Neighbor-set Jaccard similarity for the top-k common-neighbor
+    pairs: j(a,b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
+                  = cn / (deg(a) + deg(b) - cn).
+
+    Returns (a, b, common_neighbors, jaccard) with a < b, ranked by the
+    INTEGER key (common_neighbors desc, a, b) — same engine-portable
+    ordering contract as adamic_adar_topk; jaccard rounded to 6.
+
+    Plan: the common_neighbors wedge aggregation (one self-join on the
+    pivot + map-side-combined count) plus two broadcast-sized degree
+    joins on the k result rows' endpoints — the degree table is
+    vertex-sized but the join keys arrive AFTER the top-k cut, so only
+    the shuffle for deg itself touches V rows.
+    """
+    sym = _simple_undirected(edges)
+    piv = sym
+    if max_pivot_degree is not None:
+        pdeg = sym.groupBy(F.col("src").alias("u")).agg(
+            F.count("*").alias("pdeg")
+        )
+        piv = (
+            sym.join(
+                pdeg.where(F.col("pdeg") <= max_pivot_degree),
+                sym.src == pdeg.u,
+            )
+            .select("src", "dst")
+        )
+    left = piv.select(F.col("src").alias("u"), F.col("dst").alias("a"))
+    right = piv.select(F.col("src").alias("u"), F.col("dst").alias("b"))
+    pairs = (
+        left.join(right, "u")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common_neighbors"))
+        .orderBy(
+            F.col("common_neighbors").desc(), F.col("a").asc(), F.col("b").asc()
+        )
+        .limit(k)
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("degb"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            F.round(
+                F.col("common_neighbors")
+                / (
+                    F.col("dega") + F.col("degb") - F.col("common_neighbors")
+                ).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(), F.col("a").asc(), F.col("b").asc()
+        )
+    )
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """Degree assortativity coefficient: the Pearson correlation of
     (deg(src), deg(dst)) over the symmetric edge list — positive on

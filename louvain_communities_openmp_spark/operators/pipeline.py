@@ -185,3 +185,168 @@ def ngram_freq_topk(
         .orderBy(F.col("freq").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def tfidf_topk_per_doc(
+    docs: DataFrame,
+    k_per_doc: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF — the keyword-extraction /
+    feature-selection primitive of a corpus pipeline. Returns
+    (doc_id, token, tf, tfidf) where tf is the in-document count,
+    idf = ln(N / df) with N = documents containing >=1 token and
+    df = documents containing the token, and tfidf = round(tf*idf, 6).
+
+    Ranking is on the ROUNDED score (desc) then token (asc) so the
+    per-doc cut is engine-portable: the unrounded double is
+    order-of-evaluation sensitive in the last ulp, the rounded key is
+    not, and the lexicographic tiebreak settles equal-score terms.
+
+    Scale shape: one explode + (doc, token) map-side-combined count
+    shuffle; df is a token-keyed aggregate of that table (second
+    shuffle, token-cardinality-sized); N is a scalar. The idf join is
+    token-keyed — vocabulary-sized, NOT corpus-sized — and the per-doc
+    top-k is a doc-partitioned window over <= distinct-terms-per-doc
+    rows. No Python, no all-pairs anything.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    tf = tf.persist()
+    n_docs = tf.select(id_col).distinct().count()
+    df_t = tf.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    scored = tf.join(df_t, "token").select(
+        id_col,
+        "token",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    out = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k_per_doc)
+        .select(id_col, "token", "tf", "tfidf")
+    )
+    tf.unpersist()
+    return out
+
+
+def unigram_lm_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram log-likelihood under the corpus's own
+    maximum-likelihood unigram model — the cheapest LM-based quality
+    signal (low score = token distribution unlike the corpus; the
+    classic perplexity-filter stand-in when no external LM is
+    available). Returns (doc_id, n_tokens, avg_logp) with
+    logp(tok) = ln(corpus_count(tok) / corpus_total) and
+    avg_logp = round(mean over the document's token STREAM, 6)
+    (repeats weighted by occurrence). Empty documents are kept with
+    n_tokens = 0 and avg_logp NULL.
+
+    Scale shape: the (doc, token) tf table feeds both sides — the
+    unigram model is a token-keyed aggregate (vocabulary-sized), and
+    the scoring join is tf-table x vocabulary on the token key, never
+    corpus-text x anything. One extra doc-keyed sum finishes.
+    """
+    tf = (
+        docs.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    total = tf.agg(F.sum("tf")).first()[0] or 0
+    uni = tf.groupBy("token").agg(F.sum("tf").alias("ctok"))
+    per_doc = (
+        tf.join(uni, "token")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("ctok") / F.lit(float(total)))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("avg_logp"),
+        )
+    )
+    out = docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        "avg_logp",
+    )
+    tf.unpersist()
+    return out
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    min_dup_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document chunk-level dedup — the C4/RefinedWeb-style
+    boilerplate pass at chunk granularity: a chunk is BOILERPLATE when
+    its exact text occurs in >= ``min_dup_docs`` DISTINCT documents;
+    boilerplate chunks are dropped everywhere EXCEPT their canonical
+    occurrence (lexicographically smallest (doc_id, chunk_id)), so
+    exactly one copy of every repeated span survives. Returns the
+    per-document summary (doc_id, n_chunks, n_kept, n_dropped);
+    documents with no tokens report (0, 0, 0).
+
+    Scale shape: chunking is the zero-shuffle codegen scan of
+    chunk_documents; the dup test is ONE shuffle keyed on the chunk
+    text hash (md5 — uniform, no skew) computing per-group distinct-doc
+    count + min occurrence with map-side combine; the verdict join is
+    hash-keyed. Nothing is corpus-quadratic.
+    """
+    ch = chunk_documents(
+        docs, chunk_tokens=chunk_tokens, overlap=overlap,
+        text_col=text_col, id_col=id_col,
+    ).withColumn("h", F.md5("chunk_text"))
+    grp = ch.groupBy("h").agg(
+        F.countDistinct(id_col).alias("ndocs"),
+        F.min(F.struct(id_col, "chunk_id")).alias("canon"),
+    )
+    flagged = ch.join(grp, "h").select(
+        id_col,
+        "chunk_id",
+        (
+            (F.col("ndocs") >= min_dup_docs)
+            & ~(
+                (F.col(f"canon.{id_col}") == F.col(id_col))
+                & (F.col("canon.chunk_id") == F.col("chunk_id"))
+            )
+        ).alias("dropped"),
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("dropped"), 0).otherwise(1)).alias("n_kept"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0)).alias("n_dropped"),
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+    )

@@ -265,3 +265,77 @@ def test_degree_assortativity(spark):
     )
     row2 = degree_assortativity(e2).collect()[0]
     assert row2["assortativity"] is None
+
+
+def test_jaccard_topk(spark):
+    from louvain_communities_openmp_spark.operators.linkpred import (
+        jaccard_topk,
+    )
+
+    # star 0-(1..4) plus edge 1-2 (same fixture as common_neighbors)
+    und = [(0, i) for i in range(1, 5)] + [(1, 2)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    rows = {(r["a"], r["b"]): r for r in jaccard_topk(e, k=100).collect()}
+    # degrees: 0->4, 1->2, 2->2, 3->1, 4->1; all pairs cn=1
+    # j(3,4) = 1/(1+1-1) = 1.0 (both only know the hub)
+    assert rows[(3, 4)]["jaccard"] == 1.0
+    # j(1,2): cn=1 (hub), deg 2+2-1=3
+    assert abs(rows[(1, 2)]["jaccard"] - round(1 / 3, 6)) < 1e-9
+    # j(0,1): cn=1 (vertex 2), deg 4+2-1=5
+    assert abs(rows[(0, 1)]["jaccard"] - 0.2) < 1e-9
+    # ranking key is (cn desc, a, b) — same contract as adamic-adar
+    ordered = jaccard_topk(e, k=100).collect()
+    assert [(r["a"], r["b"]) for r in ordered] == sorted(
+        [(r["a"], r["b"]) for r in ordered]
+    )
+
+
+def test_harmonic_centrality_path(spark):
+    from louvain_communities_openmp_spark.operators.centrality import (
+        harmonic_centrality,
+    )
+
+    # undirected path 0-1-2-3-4; sources = 2 smallest ids {0, 1}
+    und = [(i, i + 1) for i in range(4)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    res = harmonic_centrality(e, n_sources=2)
+    got = {r["id"]: r["harmonic"] for r in res.scores.collect()}
+    # h(v) = sum over s in {0,1}, s != v of 1/d(s,v)
+    exp = {
+        0: 1 / 1,                # from 1
+        1: 1 / 1,                # from 0
+        2: 1 / 2 + 1 / 1,
+        3: 1 / 3 + 1 / 2,
+        4: 1 / 4 + 1 / 3,
+    }
+    assert set(got) == set(exp)
+    for v, h in exp.items():
+        assert abs(got[v] - round(h, 6)) < 1e-9, v
+    # frontier BFS converges in diameter rounds (+1 empty-check round)
+    assert res.iterations <= 5
+
+
+def test_harmonic_centrality_disconnected_zero(spark):
+    from louvain_communities_openmp_spark.operators.centrality import (
+        harmonic_centrality,
+    )
+
+    # two components: triangle {0,1,2} and edge {7,8}; sources {0,1}
+    und = [(0, 1), (1, 2), (0, 2), (7, 8)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    got = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(e, n_sources=2).scores.collect()
+    }
+    # far component untouched by every pivot -> exact 0, still present
+    assert got[7] == 0.0 and got[8] == 0.0
+    assert got[2] == 2.0  # 1/1 from each of 0 and 1

@@ -451,3 +451,127 @@ def test_label_centroids(spark):
     assert got[(7, 2)]["centroid_val"] == 1.0   # mean(0,2)
     assert got[(7, 1)]["n_vectors"] == 2
     assert got[(9, 1)]["centroid_val"] == 5.0 and got[(9, 1)]["n_vectors"] == 1
+
+
+def test_tfidf_topk_per_doc(spark):
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        tfidf_topk_per_doc,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "apple banana cherry"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["token"]): r
+        for r in tfidf_topk_per_doc(d, k_per_doc=2).collect()
+    }
+    # N = 3 docs with tokens; df: apple 2, banana 3, cherry 2
+    # doc 1: apple tf=2 tfidf=2*ln(3/2)=0.810930; banana ln(3/3)=0
+    assert round(out[(1, "apple")]["tfidf"], 6) == round(
+        2 * math.log(3 / 2), 6
+    )
+    assert out[(1, "banana")]["tfidf"] == 0.0
+    # doc 4 empty -> no rows
+    assert not [k for k in out if k[0] == 4]
+    # top-2 cut: doc 3 has 3 distinct terms, only 2 survive,
+    # banana (idf 0) is the one cut
+    d3 = [k[1] for k in out if k[0] == 3]
+    assert sorted(d3) == ["apple", "cherry"]
+
+
+def test_unigram_lm_score(spark):
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        unigram_lm_score,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_lm_score(d).collect()}
+    # corpus: a=2, b=2, c=1, total=5
+    lp = {"a": math.log(2 / 5), "b": math.log(2 / 5), "c": math.log(1 / 5)}
+    exp1 = (2 * lp["a"] + lp["b"]) / 3
+    exp2 = (lp["b"] + lp["c"]) / 2
+    assert rows[1]["n_tokens"] == 3
+    assert abs(rows[1]["avg_logp"] - exp1) < 1e-6
+    assert abs(rows[2]["avg_logp"] - exp2) < 1e-6
+    assert rows[3]["n_tokens"] == 0 and rows[3]["avg_logp"] is None
+    # higher score = more corpus-typical: doc 1 (common tokens) > doc 2
+    assert rows[1]["avg_logp"] > rows[2]["avg_logp"]
+
+
+def test_chunk_dedup_cross_doc(spark):
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        chunk_dedup,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(4))
+    uniq1 = " ".join(f"u{i}" for i in range(4))
+    uniq2 = " ".join(f"v{i}" for i in range(4))
+    d = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq1),
+            (2, boiler + " " + uniq2),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in chunk_dedup(d, chunk_tokens=4, overlap=0).collect()
+    }
+    # each doc = 2 chunks of 4 tokens; the boiler chunk repeats across
+    # docs 1 and 2 -> canonical (doc 1, chunk 0) kept, doc 2's copy dropped
+    assert (rows[1]["n_chunks"], rows[1]["n_kept"], rows[1]["n_dropped"]) == (2, 2, 0)
+    assert (rows[2]["n_chunks"], rows[2]["n_kept"], rows[2]["n_dropped"]) == (2, 1, 1)
+    assert (rows[3]["n_chunks"], rows[3]["n_kept"], rows[3]["n_dropped"]) == (0, 0, 0)
+
+
+def test_pii_redaction_planted(spark):
+    import re
+
+    from louvain_communities_openmp_spark.functions.text import (
+        EMAIL_RE,
+        PHONE_RE,
+        pii_counts,
+        redact_pii,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "contact Jane.Doe+spam@example.co.uk or +1 (555) 123-4567 now"),
+            (2, "two mails a@b.io c@d.org and phone 040-123456789"),
+            (3, "no pii here just words"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in d.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("red"),
+            *pii_counts(F.col("text")),
+        ).collect()
+    }
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert "<EMAIL>" in rows[1]["red"] and "<PHONE>" in rows[1]["red"]
+    assert "example.co.uk" not in rows[1]["red"]
+    assert "555" not in rows[1]["red"]
+    assert rows[2]["n_emails"] == 2 and rows[2]["n_phones"] == 1
+    assert rows[3]["n_emails"] == 0 and rows[3]["n_phones"] == 0
+    assert rows[3]["red"] == "no pii here just words"
+    # cross-impl parity: python re on the same patterns agrees
+    for did, txt in [(1, rows[1]), (2, rows[2])]:
+        orig = d.where(F.col("doc_id") == did).first()["text"]
+        py = re.sub(
+            PHONE_RE, "<PHONE>", re.sub(EMAIL_RE, "<EMAIL>", orig)
+        )
+        assert py == txt["red"]
