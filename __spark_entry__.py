@@ -619,6 +619,40 @@ def _q_events_sessions(spark, sf):
     )
 
 
+def _q_events_transitions(spark, sf):
+    """Event-type transition matrix: per-user consecutive event pairs
+    (ordered by ts with event_id tiebreak) counted into
+    (prev_type, event_type, n) — the Markov-chain / funnel-analysis
+    statistic. One user-partitioned window (lag) + one
+    map-side-combined aggregate; both shuffles key on bounded
+    cardinalities (user_id, then type-pair)."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _q_eccentricity(spark, sf):
+    """Per-pivot eccentricity + reached count from the 8 smallest-id
+    sources — the sampled pseudo-diameter probe; same BFS kernel as
+    g_harmonic8."""
+    from louvain_communities_openmp_spark.operators.centrality import (
+        eccentricities,
+    )
+
+    return eccentricities(coorder_edges(spark, sf), n_sources=8)
+
+
 def _q_bfs_hops(spark, sf):
     """Hop distances from the minimum-id vertex (bfs.hxx analog)."""
     from louvain_communities_openmp_spark.operators.bfs import bfs
@@ -829,6 +863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_unigram_lm": _q_unigram_lm,
         "d_chunk_dedup": _q_chunk_dedup,
         "d_pii_redact": _q_pii_redact,
+        "ev_transitions": _q_events_transitions,
+        "g_ecc8": _q_eccentricity,
     }
 
 
@@ -1338,13 +1374,11 @@ WHERE (SELECT count(*) FROM a{rounds - 1}) <> (SELECT count(*) FROM a{rounds})""
     )
 
 
-def _harmonic_sql(n_sources: int = 8, rounds: int = 12) -> str:
-    """Multi-source BFS unrolled to a fixed depth — min-plus closure
-    per (source, vertex), identical dynamics to
-    operators.centrality.harmonic_centrality, which iterates until the
-    frontier drains. Convergence sentinel (-1, -97) appended if the
-    last unrolled round still shortened any distance, so insufficient
-    depth fails loudly (same pattern as _components_sql)."""
+def _msbfs_ctes(n_sources: int, rounds: int) -> list[str]:
+    """Shared CTE chain: multi-source BFS unrolled to a fixed depth —
+    min-plus closure per (source, vertex), identical dynamics to
+    operators.centrality.multi_source_bfs, which iterates until the
+    frontier drains."""
     ctes = [
         _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
         "verts AS MATERIALIZED (SELECT src AS id FROM edges "
@@ -1364,6 +1398,21 @@ b{k + 1} AS MATERIALIZED (
     FROM edges e JOIN b{k} q ON e.src = q.id
   ) GROUP BY s, id
 )""")
+    return ctes
+
+
+def _msbfs_sentinel(rounds: int) -> str:
+    """EXISTS clause: TRUE iff the last unrolled round still shortened
+    any distance — appended as a sentinel row so insufficient depth
+    fails the gate loudly (same pattern as _components_sql)."""
+    return f"""EXISTS (
+  SELECT 1 FROM b{rounds} a LEFT JOIN b{rounds - 1} pr
+  ON a.s = pr.s AND a.id = pr.id
+  WHERE pr.id IS NULL OR a.dist <> pr.dist)"""
+
+
+def _harmonic_sql(n_sources: int = 8, rounds: int = 12) -> str:
+    ctes = _msbfs_ctes(n_sources, rounds)
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -1373,10 +1422,21 @@ FROM verts v LEFT JOIN (
   SELECT id, sum(1.0 / dist) AS h FROM b{rounds} WHERE dist > 0 GROUP BY id
 ) h ON v.id = h.id
 UNION ALL
-SELECT CAST(-1 AS BIGINT), CAST(-97 AS DOUBLE) WHERE EXISTS (
-  SELECT 1 FROM b{rounds} a LEFT JOIN b{rounds - 1} pr
-  ON a.s = pr.s AND a.id = pr.id
-  WHERE pr.id IS NULL OR a.dist <> pr.dist)"""
+SELECT CAST(-1 AS BIGINT), CAST(-97 AS DOUBLE) WHERE {_msbfs_sentinel(rounds)}"""
+    )
+
+
+def _ecc_sql(n_sources: int = 8, rounds: int = 12) -> str:
+    ctes = _msbfs_ctes(n_sources, rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s, max(dist) AS ecc, CAST(count(*) AS BIGINT) AS n_reached
+FROM b{rounds} GROUP BY s
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+WHERE {_msbfs_sentinel(rounds)}"""
     )
 
 
@@ -1829,6 +1889,17 @@ FROM pairs JOIN deg da ON pairs.a = da.id JOIN deg db ON pairs.b = db.id
 ORDER BY common_neighbors DESC, a, b"""
     )
     out["g_harmonic8"] = _harmonic_sql(n_sources=8, rounds=12)
+    out["g_ecc8"] = _ecc_sql(n_sources=8, rounds=12)
+    out["ev_transitions"] = """
+SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type"""
     out["d_tfidf_top3"] = f"""
 WITH tf AS (
   SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf

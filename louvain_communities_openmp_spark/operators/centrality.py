@@ -40,19 +40,15 @@ class HarmonicResult:
     iterations: int
 
 
-def harmonic_centrality(
+def multi_source_bfs(
     edges: DataFrame,
     n_sources: int = 8,
     max_iter: int = 64,
-) -> HarmonicResult:
-    """Harmonic centrality restricted to the k = ``n_sources`` pivot
-    sources with the smallest vertex ids (deterministic sample).
-
-    Directed semantics: d(s, v) follows edge direction, so scores rank
-    reachability-from-pivots (run on the symmetricized table for the
-    undirected score). Vertices unreached by every pivot score 0.
-    """
-    spark = edges.sparkSession
+) -> tuple[DataFrame, int]:
+    """Per-source hop distances from the ``n_sources`` smallest-id
+    pivot vertices (deterministic sample). Returns the (s, id, dist)
+    visited frame and the round count — the shared kernel under
+    harmonic_centrality and eccentricities."""
     e = edges.select("src", "dst").repartition("src").persist()
     srcs = (
         vertices(edges).orderBy("id").limit(n_sources).select("id")
@@ -87,6 +83,22 @@ def harmonic_centrality(
             visited = visited.localCheckpoint(eager=True)
             rounds_since_cp = 0
         frontier = nxt
+    e.unpersist()
+    return visited, it
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    n_sources: int = 8,
+    max_iter: int = 64,
+) -> HarmonicResult:
+    """Harmonic centrality restricted to the pivot-source sample.
+
+    Directed semantics: d(s, v) follows edge direction, so scores rank
+    reachability-from-pivots (run on the symmetricized table for the
+    undirected score). Vertices unreached by every pivot score 0.
+    """
+    visited, it = multi_source_bfs(edges, n_sources, max_iter)
     per = (
         visited.where(F.col("dist") > 0)
         .groupBy("id")
@@ -100,5 +112,22 @@ def harmonic_centrality(
             F.round(F.coalesce("h", F.lit(0.0)), 6).alias("harmonic"),
         )
     )
-    e.unpersist()
     return HarmonicResult(scores, n_sources, it)
+
+
+def eccentricities(
+    edges: DataFrame,
+    n_sources: int = 8,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Per-pivot eccentricity over the reachable set: (s, ecc,
+    n_reached) where ecc = max hop distance from pivot s and n_reached
+    counts vertices at finite distance (pivot included, dist 0). The
+    max over rows lower-bounds the graph diameter — the standard
+    sampled pseudo-diameter probe. Same BFS kernel and scale shape as
+    harmonic_centrality; one extra vertex-sized aggregate."""
+    visited, _ = multi_source_bfs(edges, n_sources, max_iter)
+    return visited.groupBy("s").agg(
+        F.max("dist").alias("ecc"),
+        F.count("*").alias("n_reached"),
+    )

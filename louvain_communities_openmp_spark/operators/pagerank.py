@@ -37,7 +37,20 @@ def pagerank(
     alpha: float = 0.85,
     tol: float = 1e-10,
     max_iter: int = 200,
+    initial_ranks: DataFrame | None = None,
 ) -> PageRankResult:
+    """Power-iteration PageRank to tolerance.
+
+    ``initial_ranks`` (id, rank) warm-starts the power iteration — the
+    dynamic-graph analog of the reference's DYNAMIC Louvain seeding
+    (louvain.hxx:305-318): after a small edge-delta batch the previous
+    fixpoint is near the new one, so convergence takes a handful of
+    iterations instead of a cold start. Ranks are projected onto the
+    CURRENT vertex set (new vertices seeded at 1/n) and renormalized to
+    sum 1, so the input may come from any earlier graph version. The
+    fixpoint is start-independent; warm-starting changes iteration
+    count, not the answer.
+    """
     spark = edges.sparkSession
     verts = vertices(edges).persist()
     n = verts.count()
@@ -66,12 +79,32 @@ def pagerank(
         .persist()
     )
     # dangling mass of the uniform start vector: (n − |src|)/n · 1/n
+    # (recomputed below from the seeded vector when warm-starting)
     dangling = (n - has_out.count()) / n
     # eager localCheckpoint per round: truncates lineage and avoids the
     # unpersist-cascade recompute (see labelprop.py)
-    ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
-        eager=True
-    )
+    if initial_ranks is not None:
+        seeded = verts.join(
+            initial_ranks.select("id", F.col("rank").alias("r0")), "id", "left"
+        ).select("id", F.coalesce("r0", F.lit(1.0 / n)).alias("rank"))
+        total = seeded.agg(F.sum("rank")).first()[0] or 1.0
+        ranks = seeded.select(
+            "id", (F.col("rank") / F.lit(float(total))).alias("rank")
+        ).localCheckpoint(eager=True)
+        dangling = float(
+            ranks.join(has_out, "id", "left")
+            .agg(
+                F.sum(
+                    F.when(F.col("_h").isNull(), F.col("rank")).otherwise(0.0)
+                )
+            )
+            .first()[0]
+            or 0.0
+        )
+    else:
+        ranks = verts.select(
+            "id", F.lit(1.0 / n).alias("rank")
+        ).localCheckpoint(eager=True)
     it, err = 0, float("inf")
     while it < max_iter and err >= tol:
         contrib = (

@@ -339,3 +339,19 @@ def test_harmonic_centrality_disconnected_zero(spark):
     # far component untouched by every pivot -> exact 0, still present
     assert got[7] == 0.0 and got[8] == 0.0
     assert got[2] == 2.0  # 1/1 from each of 0 and 1
+
+
+def test_eccentricities_path(spark):
+    from louvain_communities_openmp_spark.operators.centrality import (
+        eccentricities,
+    )
+
+    # undirected path 0-1-2-3-4; pivots {0, 1}
+    und = [(i, i + 1) for i in range(4)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    rows = {r["s"]: r for r in eccentricities(e, n_sources=2).collect()}
+    assert rows[0]["ecc"] == 4 and rows[0]["n_reached"] == 5
+    assert rows[1]["ecc"] == 3 and rows[1]["n_reached"] == 5
