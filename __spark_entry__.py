@@ -619,6 +619,31 @@ def _q_events_sessions(spark, sf):
     )
 
 
+def _q_contamination(spark, sf):
+    """Benchmark decontamination: training docs sharing any distinct
+    8-gram shingle with the deterministic eval subset
+    (doc_id % 29 == 0). Equi-join on the shingle string against the
+    benchmark-sized eval side (broadcast at scale)."""
+    from louvain_communities_openmp_spark.operators.dedup import (
+        contamination_flags,
+    )
+
+    d = _docs(spark, sf)
+    return contamination_flags(
+        d, d.where(F.col("doc_id") % 29 == 0), k=8, min_shared=1
+    )
+
+
+def _q_repetition(spark, sf):
+    """Gopher-style repetition gates: top-word and top-bigram token
+    fractions per document."""
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        repetition_features,
+    )
+
+    return repetition_features(_docs(spark, sf))
+
+
 def _q_events_transitions(spark, sf):
     """Event-type transition matrix: per-user consecutive event pairs
     (ordered by ts with event_id tiebreak) counted into
@@ -865,6 +890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_pii_redact": _q_pii_redact,
         "ev_transitions": _q_events_transitions,
         "g_ecc8": _q_eccentricity,
+        "d_contamination": _q_contamination,
+        "d_repetition": _q_repetition,
     }
 
 
@@ -1890,6 +1917,58 @@ ORDER BY common_neighbors DESC, a, b"""
     )
     out["g_harmonic8"] = _harmonic_sql(n_sources=8, rounds=12)
     out["g_ecc8"] = _ecc_sql(n_sources=8, rounds=12)
+    out["d_contamination"] = f"""
+WITH t AS (
+  SELECT doc_id, {_toks('text')} AS toks
+  FROM documents WHERE {_norm('text')} <> ''
+),
+dsh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+             ELSE list_transform(generate_series(1, len(toks) - 7),
+                                 i -> array_to_string(toks[i:i+7], ' '))
+           END) AS sh
+    FROM t
+  )
+),
+ev AS (SELECT DISTINCT sh FROM dsh WHERE doc_id % 29 = 0),
+shared AS (
+  SELECT d.doc_id, count(*) AS n FROM dsh d JOIN ev ON d.sh = ev.sh
+  WHERE d.doc_id % 29 <> 0 GROUP BY d.doc_id
+)
+SELECT tr.doc_id, CAST(coalesce(shared.n, 0) AS BIGINT) AS n_shared_shingles,
+       coalesce(shared.n, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) tr
+LEFT JOIN shared ON tr.doc_id = shared.doc_id"""
+    out["d_repetition"] = f"""
+WITH t AS (
+  SELECT doc_id, {_toks('text')} AS t
+  FROM documents WHERE {_norm('text')} <> ''
+),
+topw AS (
+  SELECT doc_id, n, max(c) AS topw FROM (
+    SELECT doc_id, n, w, count(*) AS c FROM (
+      SELECT doc_id, len(t) AS n, unnest(t) AS w FROM t
+    ) GROUP BY doc_id, n, w
+  ) GROUP BY doc_id, n
+),
+topg AS (
+  SELECT doc_id, max(c) AS topg FROM (
+    SELECT doc_id, g, count(*) AS c FROM (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1])) AS g
+      FROM t WHERE len(t) >= 2
+    ) GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(topw.n, 0) AS BIGINT) AS n_tokens,
+       round(topw.topw / CAST(topw.n AS DOUBLE), 6) AS top_word_frac,
+       round(topg.topg / CAST(topw.n - 1 AS DOUBLE), 6) AS top_bigram_frac
+FROM documents d
+LEFT JOIN topw ON d.doc_id = topw.doc_id
+LEFT JOIN topg ON d.doc_id = topg.doc_id"""
     out["ev_transitions"] = """
 SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
 FROM (

@@ -399,3 +399,55 @@ def near_dup_clusters(
         ).alias("is_canonical"),
     )
     return out
+
+
+def contamination_flags(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 8,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose text
+    shares >= ``min_shared`` distinct word ``k``-gram shingles with any
+    document in ``eval_docs`` — the standard n-gram-overlap
+    contamination check run before training on a corpus that may
+    contain eval-set material. Returns one row per TRAINING doc (docs
+    whose id is absent from eval_docs): (doc_id, n_shared_shingles,
+    contaminated).
+
+    Plan shape: both sides explode to DISTINCT shingle rows; the
+    overlap test is one equi-join on the shingle string (uniform
+    content key, no skew) against the eval side's distinct-shingle
+    set — eval sets are benchmark-sized (10^3-10^6 rows), so Catalyst
+    broadcasts that side at scale; the per-doc count is one map-side-
+    combined aggregate. Nothing touches training-corpus pairs.
+    """
+    from ..functions.text import shingles
+
+    eval_ids = eval_docs.select(F.col(id_col)).distinct()
+    eval_sh = (
+        eval_docs.select(
+            F.explode(shingles(F.col(text_col), k=k)).alias("sh")
+        )
+        .distinct()
+    )
+    train = docs.join(eval_ids, id_col, "left_anti")
+    train_sh = train.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k=k)).alias("sh")
+    ).distinct()
+    shared = (
+        train_sh.join(eval_sh, "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_shingles"))
+    )
+    return train.select(id_col).join(shared, id_col, "left").select(
+        id_col,
+        F.coalesce("n_shared_shingles", F.lit(0)).cast("long").alias(
+            "n_shared_shingles"
+        ),
+        (F.coalesce("n_shared_shingles", F.lit(0)) >= min_shared).alias(
+            "contaminated"
+        ),
+    )

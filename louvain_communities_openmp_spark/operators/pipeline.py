@@ -350,3 +350,61 @@ def chunk_dedup(
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
     )
+
+
+def repetition_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition gates: the fraction of a document's
+    token stream consumed by its single most frequent word and by its
+    most frequent word bigram — high values mark template/spam pages
+    that length and stopword gates miss (Rae et al. 2021's
+    "repetition" filters, the word/bigram members). Returns
+    (doc_id, n_tokens, top_word_frac, top_bigram_frac), fractions
+    rounded to 6; top_bigram_frac is NULL when n_tokens < 2, both
+    NULL when the document has no tokens.
+
+    Scale shape: two explode + (doc, gram) map-side-combined counts,
+    each followed by a doc-keyed max — all JVM-side, no windows over
+    the raw token stream, no Python.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    base = docs.select(F.col(id_col), t.alias("t"), n_tok.alias("n"))
+    words = (
+        base.select(id_col, "n", F.explode("t").alias("w"))
+        .groupBy(id_col, "n", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col, "n")
+        .agg(F.max("c").alias("topw"))
+    )
+    bigrams_arr = F.when(
+        F.col("n") < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 1),
+            lambda i: F.array_join(F.slice("t", i, 2), " "),
+        )
+    )
+    bigrams = (
+        base.select(id_col, "n", F.explode(bigrams_arr).alias("g"))
+        .groupBy(id_col, "n", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("topg"))
+    )
+    return (
+        base.select(id_col, "n")
+        .join(words.select(id_col, "topw"), id_col, "left")
+        .join(bigrams, id_col, "left")
+        .select(
+            id_col,
+            F.col("n").cast("long").alias("n_tokens"),
+            F.round(F.col("topw") / F.col("n"), 6).alias("top_word_frac"),
+            F.round(F.col("topg") / (F.col("n") - 1), 6).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )

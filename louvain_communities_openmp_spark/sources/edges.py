@@ -171,3 +171,38 @@ def coorder_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("double").alias("w"))
     )
+
+
+def write_edges_bucketed(
+    edges: DataFrame,
+    table: str,
+    buckets: int = 32,
+    key: str = "src",
+    mode: str = "overwrite",
+) -> None:
+    """Persist an edge table hash-bucketed (and sorted) on ``key`` via
+    the session catalog — the co-located-join layout for 100 TB graph
+    storage: two tables bucketed on the same key with the same bucket
+    count join WITHOUT a shuffle (SortMergeJoin reads bucket i against
+    bucket i), and every per-round membership-lookup join against a
+    bucketed static side starts pre-partitioned, which is the at-rest
+    equivalent of the in-memory `repartition(key).persist()` pattern
+    the iterative operators use (components.py/labelprop.py).
+
+    Bucket pruning also serves point lookups: a `key = <id>` predicate
+    reads one bucket file per partition instead of scanning the table.
+    """
+    (
+        edges.write.mode(mode)
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back with its bucket metadata intact
+    (spark.table preserves the output partitioning; a raw
+    spark.read.parquet over the same files would not)."""
+    return spark.table(table)

@@ -575,3 +575,61 @@ def test_pii_redaction_planted(spark):
             PHONE_RE, "<PHONE>", re.sub(EMAIL_RE, "<EMAIL>", orig)
         )
         assert py == txt["red"]
+
+
+def test_contamination_flags(spark):
+    from louvain_communities_openmp_spark.operators.dedup import (
+        contamination_flags,
+    )
+
+    words = lambda pfx, n: " ".join(f"{pfx}{i}" for i in range(n))  # noqa: E731
+    eval_text = words("e", 12)
+    d = spark.createDataFrame(
+        [
+            (0, eval_text),                       # the eval doc
+            (1, words("a", 12) + " " + eval_text),  # contains eval text
+            (2, words("b", 20)),                    # clean
+            (3, eval_text[: len("e0 e1 e2 e3 e4 e5 e6 e7")]),  # 8 eval tokens = 1 shared 8-gram
+            (4, ""),                                # empty
+        ],
+        "doc_id long, text string",
+    )
+    ev = d.where(F.col("doc_id") == 0)
+    rows = {
+        r["doc_id"]: r for r in contamination_flags(d, ev, k=8).collect()
+    }
+    assert 0 not in rows  # eval docs are not training rows
+    assert rows[1]["contaminated"] is True
+    # doc 1 contains all 5 distinct 8-grams of the 12-token eval text
+    assert rows[1]["n_shared_shingles"] == 5
+    assert rows[2]["contaminated"] is False and rows[2]["n_shared_shingles"] == 0
+    assert rows[3]["contaminated"] is True and rows[3]["n_shared_shingles"] == 1
+    assert rows[4]["contaminated"] is False
+
+
+def test_repetition_features(spark):
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        repetition_features,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one word everywhere
+            (2, "a b a b a b"),                  # alternating bigram
+            (3, "w x y z"),                      # all distinct
+            (4, "solo"),                         # single token
+            (5, ""),                             # empty
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(d).collect()}
+    assert rows[1]["top_word_frac"] == 1.0
+    assert rows[1]["top_bigram_frac"] == 1.0  # "spam spam" x3 / 3
+    assert abs(rows[2]["top_word_frac"] - 0.5) < 1e-9
+    # bigrams of doc 2: ab ba ab ba ab -> top "a b" 3/5
+    assert abs(rows[2]["top_bigram_frac"] - 0.6) < 1e-9
+    assert abs(rows[3]["top_word_frac"] - 0.25) < 1e-9
+    assert rows[4]["n_tokens"] == 1 and rows[4]["top_word_frac"] == 1.0
+    assert rows[4]["top_bigram_frac"] is None
+    assert rows[5]["n_tokens"] == 0
+    assert rows[5]["top_word_frac"] is None
