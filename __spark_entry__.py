@@ -619,6 +619,38 @@ def _q_events_sessions(spark, sf):
     )
 
 
+def _q_walks(spark, sf):
+    """Deterministic fixed-length walks (GNN neighborhood sampling)
+    from the 16 smallest-id vertices: 8 steps, neighbor choice =
+    md5(walk_id:step:v) mod outdeg — reproducible across engines."""
+    from louvain_communities_openmp_spark.operators.walks import (
+        deterministic_walks,
+    )
+
+    return deterministic_walks(
+        coorder_edges(spark, sf), n_sources=16, walk_len=8
+    )
+
+
+def _q_egonet2(spark, sf):
+    """2-hop egonet of the minimum-id vertex: the induced edge set
+    among vertices within distance 2 — the subgraph-extraction
+    primitive for per-node feature engineering."""
+    from louvain_communities_openmp_spark.operators.bfs import bfs
+    from louvain_communities_openmp_spark.operators.transforms import (
+        vertices,
+    )
+
+    e = coorder_edges(spark, sf).persist()
+    src = vertices(e).agg(F.min("id").alias("id"))
+    vis = bfs(e, src, max_iter=2).distances.select("id")
+    return (
+        e.join(vis.withColumnRenamed("id", "src"), "src")
+        .join(vis.withColumnRenamed("id", "dst"), "dst")
+        .select("src", "dst", "w")
+    )
+
+
 def _q_contamination(spark, sf):
     """Benchmark decontamination: training docs sharing any distinct
     8-gram shingle with the deterministic eval subset
@@ -892,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_ecc8": _q_eccentricity,
         "d_contamination": _q_contamination,
         "d_repetition": _q_repetition,
+        "g_walks16": _q_walks,
+        "g_egonet2": _q_egonet2,
     }
 
 
@@ -1917,6 +1951,42 @@ ORDER BY common_neighbors DESC, a, b"""
     )
     out["g_harmonic8"] = _harmonic_sql(n_sources=8, rounds=12)
     out["g_ecc8"] = _ecc_sql(n_sources=8, rounds=12)
+    walk_ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "dedges AS (SELECT DISTINCT src, dst FROM edges)",
+        "adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs "
+        "FROM dedges GROUP BY src)",
+        "verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "w0 AS (SELECT id AS walk_id, 0 AS step, id AS v FROM "
+        "(SELECT id FROM verts ORDER BY id LIMIT 16))",
+    ]
+    for k in range(8):
+        walk_ctes.append(
+            f"w{k + 1} AS (SELECT walk_id, {k + 1} AS step, "
+            f"nbrs[CAST(1 + CAST(('0x' || substr(md5("
+            f"walk_id::VARCHAR || ':{k}:' || v::VARCHAR), 1, 8)) AS BIGINT)"
+            f" % len(nbrs) AS INT)] AS v "
+            f"FROM w{k} JOIN adj ON w{k}.v = adj.src)"
+        )
+    out["g_walks16"] = (
+        "WITH "
+        + ",\n".join(walk_ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT walk_id, step, v FROM w{k}" for k in range(9)
+        )
+    )
+    ego_ctes = _msbfs_ctes(n_sources=1, rounds=2)
+    out["g_egonet2"] = (
+        "WITH "
+        + ",\n".join(ego_ctes)
+        + """,
+ego AS (SELECT DISTINCT id FROM b2)
+SELECT e.src, e.dst, e.w
+FROM edges e
+JOIN ego a ON e.src = a.id
+JOIN ego b ON e.dst = b.id"""
+    )
     out["d_contamination"] = f"""
 WITH t AS (
   SELECT doc_id, {_toks('text')} AS toks

@@ -1,0 +1,101 @@
+"""Deterministic random walks — GNN-style neighborhood sampling.
+
+The training-data counterpart of node2vec/GraphSAGE neighbor sampling:
+fixed-length walks from a pivot-source sample over the directed edge
+table. The "random" choice at each step is a HASH of
+(walk_id, step, current vertex) — md5-derived, so walks are a pure
+deterministic function of the graph (reproducible across runs,
+engines, and partitionings; the property every sampled training set
+needs for auditability) while still distributionally uniform over the
+out-neighbors.
+
+Plan shape: the adjacency table (src → sorted out-neighbor array) is
+built once with one shuffle — the same artifact the triangle counter
+uses — and each of the L steps is ONE walk-count-sized join against
+it: per-step exchange is O(#walks), never O(E). A walk ends early at a
+dangling vertex (inner join drops it). At 100 TB the adjacency side is
+the big static table: bucketed storage (write_edges_bucketed) makes
+every step's join co-located, and hub rows are bounded by the array
+width cap of the underlying groupBy (arrays of out-neighbors, the same
+width bound discussion as triangles.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .transforms import vertices
+
+
+def _choice_idx(walk_id, step: int, v, deg):
+    """Deterministic neighbor index in [0, deg): first 32 bits of
+    md5('<walk_id>:<step>:<v>') mod deg — portable to any engine with
+    md5 (the DuckDB twin uses the identical formulation)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    walk_id.cast("string"),
+                    F.lit(str(step)),
+                    v.cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, deg)
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    n_sources: int = 16,
+    walk_len: int = 8,
+) -> DataFrame:
+    """Fixed-length deterministic walks from the ``n_sources``
+    smallest-id vertices. Returns (walk_id, step, v): step 0 is the
+    source itself; a walk that reaches a vertex with no out-edges
+    simply has no later rows."""
+    adj = (
+        edges.select("src", "dst")
+        .distinct()
+        .groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+    )
+    cur = (
+        vertices(edges)
+        .orderBy("id")
+        .limit(n_sources)
+        .select(
+            F.col("id").alias("walk_id"),
+            F.lit(0).alias("step"),
+            F.col("id").alias("v"),
+        )
+    )
+    frames = [cur]
+    for k in range(walk_len):
+        cur = (
+            cur.join(adj, cur.v == adj.src)
+            .select(
+                "walk_id",
+                F.lit(k + 1).alias("step"),
+                F.element_at(
+                    "nbrs",
+                    (
+                        _choice_idx(
+                            F.col("walk_id"), k, F.col("v"), F.size("nbrs")
+                        )
+                        + 1
+                    ).cast("int"),
+                ).alias("v"),
+            )
+        )
+        frames.append(cur)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -121,3 +121,45 @@ def test_modularity_singletons_karate(spark):
     assert math.isclose(
         q, modularity_seq(adjacency(kar), list(range(34))), abs_tol=1e-12
     )
+
+
+def test_deterministic_walks(spark):
+    from louvain_communities_openmp_spark.operators.walks import (
+        deterministic_walks,
+    )
+
+    und = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 3)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = deterministic_walks(e, n_sources=2, walk_len=5).collect()
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["v"]
+    assert set(walks) == {0, 1}
+    for wid, steps in walks.items():
+        assert steps[0] == wid
+        assert len(steps) == 6  # no dangling vertices -> full length
+        for s in range(1, 6):
+            # every hop follows a real edge
+            assert steps[s] in adj[steps[s - 1]], (wid, s, steps)
+    # pure function of the graph: identical on a repartitioned input
+    again = {
+        (r["walk_id"], r["step"], r["v"])
+        for r in deterministic_walks(
+            e.repartition(7), n_sources=2, walk_len=5
+        ).collect()
+    }
+    assert again == {(r["walk_id"], r["step"], r["v"]) for r in rows}
+
+    # dangling end: directed path 0->1->2 stops at 2
+    dpath = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, w double"
+    )
+    drows = deterministic_walks(dpath, n_sources=1, walk_len=5).collect()
+    assert sorted((r["step"], r["v"]) for r in drows) == [(0, 0), (1, 1), (2, 2)]
