@@ -38,22 +38,29 @@ class ComponentsResult:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 200
+    edges: DataFrame,
+    max_iter: int = 200,
+    broadcast_vertices: int = 5_000_000,
 ) -> ComponentsResult:
-    # partition the static edge table on its per-round JOIN KEY before
-    # caching: the per-round frontier join then exchanges only the
-    # vertex-sized frontier, never the edges (same pattern as the
-    # Louvain routing table)
+    # Two regimes, same answer (see labelprop.py for the full rationale):
+    # - V small: e partitioned on the AGGREGATION key (dst), frontier
+    #   BROADCAST into the src join → the hash-min phase runs with zero
+    #   exchange over e;
+    # - V large (100 TB regime): e partitioned on the JOIN key (src) so
+    #   only the vertex-sized frontier and the map-side-combined min
+    #   aggregate move per round.
+    verts = vertices(edges)
+    use_bc = verts.count() <= broadcast_vertices
     e = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
-        .repartition("src")
+        .repartition("dst" if use_bc else "src")
         .persist()
     )
     # eager localCheckpoint per round: truncates lineage and avoids the
     # unpersist-cascade recompute (see labelprop.py)
     comp = (
-        vertices(edges)
+        verts
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint(eager=True)
     )
@@ -63,8 +70,9 @@ def connected_components(
     while it < max_iter:
         # phase 1 — hash-min: candidate labels flowing over edges out
         # of the frontier (vertex-sized exchange; edges stay put)
+        fr = frontier.withColumnRenamed("id", "src")
         cand = (
-            e.join(frontier.withColumnRenamed("id", "src"), "src")
+            e.join(F.broadcast(fr) if use_bc else fr, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("new_comp"))
         )

@@ -28,33 +28,47 @@ class LabelPropResult:
 
 
 def label_propagation(
-    edges: DataFrame, max_iter: int = 10
+    edges: DataFrame,
+    max_iter: int = 10,
+    broadcast_vertices: int = 5_000_000,
 ) -> LabelPropResult:
-    # partition the static edge table on its per-round JOIN KEY before
-    # caching: the per-round labels join then exchanges only the
-    # vertex-sized labels frame, never the edges (same pattern as the
-    # Louvain routing table)
+    # Two regimes, same answer (gate mirrors Louvain's broadcast_vertices):
+    #
+    # - V ≤ broadcast_vertices: partition the static edge table on the
+    #   AGGREGATION key (src) and BROADCAST the vertex-sized labels
+    #   frame into the dst join. The round is then exchange-FREE: the
+    #   broadcast join preserves e's src partitioning, which satisfies
+    #   both groupBy(src, nl) and groupBy(src) downstream — without the
+    #   broadcast, the post-join groupBy(src, nl) re-shuffles the
+    #   edge-sized scored table every round (map-side combine can't
+    #   collapse it while neighbor labels are still diverse).
+    # - V > broadcast_vertices (the 100 TB regime): labels can't ship
+    #   to every executor; partition e on the JOIN key (dst) so the
+    #   per-round exchange is the vertex-sized labels frame plus the
+    #   map-side-combined scored aggregate.
+    verts = vertices(edges)
+    use_bc = verts.count() <= broadcast_vertices
     e = (
         edges.select("src", "dst", "w")
         .where(F.col("src") != F.col("dst"))
-        .repartition("dst")
+        .repartition("src" if use_bc else "dst")
         .persist()
     )
     # eager localCheckpoint per round: truncates lineage AND avoids the
     # unpersist-cascade (unpersisting a parent invalidates caches built
     # on it, which silently re-runs the whole chain on later rounds)
     labels = (
-        vertices(edges)
+        verts
         .select("id", F.col("id").alias("label"))
         .localCheckpoint(eager=True)
     )
     it = 0
     while it < max_iter:
+        nbr = labels.select(
+            F.col("id").alias("dst"), F.col("label").alias("nl")
+        )
         scored = (
-            e.join(
-                labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
-                "dst",
-            )
+            e.join(F.broadcast(nbr) if use_bc else nbr, "dst")
             .groupBy("src", "nl")
             .agg(F.sum("w").alias("wt"))
         )

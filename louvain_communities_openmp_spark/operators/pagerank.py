@@ -57,14 +57,18 @@ def pagerank(
     if n == 0:
         return PageRankResult(spark.createDataFrame([], "id long, rank double"), 0, 0.0)
     vt = vertex_weights(edges)
-    # normalized transition edges: src → dst with probability mass w/vtot
-    # partition the static transition table on its per-round JOIN KEY
-    # before caching: each iteration then exchanges only the
-    # vertex-sized ranks frame, never the edges (see labelprop.py)
+    # normalized transition edges: src → dst with probability mass
+    # w/vtot. Two regimes, same answer (see labelprop.py): when V fits
+    # a broadcast, partition the static table on the AGGREGATION key
+    # (dst) and broadcast ranks into the src join — zero-exchange
+    # iterations; above the gate, partition on the JOIN key (src) so
+    # only the vertex-sized ranks frame and the map-side-combined
+    # contribution aggregate move per round.
+    use_bc = n <= 5_000_000
     trans = (
         edges.join(vt.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.col("w") / F.col("vtot")).alias("p"))
-        .repartition("src")
+        .repartition("dst" if use_bc else "src")
         .persist()
     )
     trans.count()
@@ -107,8 +111,9 @@ def pagerank(
         ).localCheckpoint(eager=True)
     it, err = 0, float("inf")
     while it < max_iter and err >= tol:
+        rs = ranks.withColumnRenamed("id", "src")
         contrib = (
-            trans.join(ranks.withColumnRenamed("id", "src"), "src")
+            trans.join(F.broadcast(rs) if use_bc else rs, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
         )
@@ -150,16 +155,18 @@ def pagerank_fixed(
     Returns (id, rank) with rank rounded to 7dp."""
     vt = vertex_weights(edges).persist()
     n = vt.count()
+    use_bc = n <= 5_000_000
     trans = (
         edges.join(vt.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.col("w") / F.col("vtot")).alias("p"))
-        .repartition("src")
+        .repartition("dst" if use_bc else "src")
         .persist()
     )
     ranks = vt.select("id", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
+        rs = ranks.withColumnRenamed("id", "src")
         contrib = (
-            trans.join(ranks.withColumnRenamed("id", "src"), "src")
+            trans.join(F.broadcast(rs) if use_bc else rs, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
         )
@@ -193,10 +200,11 @@ def personalized_pagerank_fixed(
     (a broadcast-sized left join when |seeds| ≪ V).
     """
     vt = vertex_weights(edges).persist()
+    use_bc = vt.count() <= 5_000_000
     trans = (
         edges.join(vt.withColumnRenamed("id", "src"), "src")
         .select("src", "dst", (F.col("w") / F.col("vtot")).alias("p"))
-        .repartition("src")
+        .repartition("dst" if use_bc else "src")
         .persist()
     )
     s = seeds.select("id").distinct()
@@ -209,8 +217,9 @@ def personalized_pagerank_fixed(
     ).persist()
     ranks = base.select("id", F.col("s").alias("rank"))
     for _ in range(iters):
+        rs = ranks.withColumnRenamed("id", "src")
         contrib = (
-            trans.join(ranks.withColumnRenamed("id", "src"), "src")
+            trans.join(F.broadcast(rs) if use_bc else rs, "src")
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
         )
