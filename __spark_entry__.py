@@ -505,6 +505,17 @@ def _q_cosine_topk(spark, sf):
     return cosine_topk_bruteforce(emb, queries, k=10)
 
 
+def _q_knn_classify(spark, sf):
+    """k-NN majority-label vote for the 10 smallest-id query vectors
+    (auto-tagging primitive); tie → smallest label."""
+    from louvain_communities_openmp_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return knn_classify(emb, emb.orderBy("vec_id").limit(10), k=10)
+
+
 def _q_embed_neardup(spark, sf):
     """Near-dup pairs over the embeddings table augmented with exact
     twins of the first 20 vectors (id + 1e9): random embeddings have no
@@ -926,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_repetition": _q_repetition,
         "g_walks16": _q_walks,
         "g_egonet2": _q_egonet2,
+        "e_knn10": _q_knn_classify,
     }
 
 
@@ -1951,6 +1963,32 @@ ORDER BY common_neighbors DESC, a, b"""
     )
     out["g_harmonic8"] = _harmonic_sql(n_sources=8, rounds=12)
     out["g_ecc8"] = _ecc_sql(n_sources=8, rounds=12)
+    out["e_knn10"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 10
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+), nn AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rn <= 10
+), votes AS (
+  SELECT nn.query_id, CAST(e.label AS BIGINT) AS nl,
+         CAST(count(*) AS BIGINT) AS votes
+  FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+  GROUP BY nn.query_id, e.label
+), best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY votes DESC, nl ASC) AS rn
+  FROM votes
+)
+SELECT query_id, nl AS pred_label, votes FROM best WHERE rn = 1"""
     walk_ctes = [
         _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
         "dedges AS (SELECT DISTINCT src, dst FROM edges)",

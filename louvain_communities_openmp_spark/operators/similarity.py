@@ -325,3 +325,51 @@ def label_centroids(emb: DataFrame, round_to: int = 6) -> DataFrame:
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+def knn_classify(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label vote: for each query vector, the majority label among
+    its exact top-k cosine neighbors (ties → smallest label —
+    deterministic). Returns (query_id, pred_label, votes) — the
+    weak-labeling / label-propagation primitive of an embedding-indexed
+    corpus (auto-tagging new documents from their nearest labeled
+    neighbors).
+
+    Plan: the neighbor search is cosine_topk_bruteforce (broadcast
+    queries, one pass over the candidate side); the vote is a
+    (query, label)-keyed count over k·|Q| rows — driver-scale, free.
+    The labels join touches only the k·|Q| neighbor rows, not the
+    corpus.
+    """
+    nn = cosine_topk_bruteforce(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    lab = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nl")
+    )
+    votes = (
+        nn.join(lab, "neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count("*").alias("votes"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("nl")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("nl").cast("long").alias("pred_label"),
+            "votes",
+        )
+    )

@@ -128,3 +128,70 @@ def read_mtx(
         edges=e, n_vertices=rows, n_entries=nnz, symmetric=symmetric,
         field=field,
     )
+
+
+def write_mtx(
+    edges: DataFrame,
+    path: str,
+    n_vertices: int | None = None,
+    symmetric: bool = True,
+    weighted: bool = True,
+) -> None:
+    """MatrixMarket sink — the reference-format round-trip partner of
+    read_mtx (reference corpus convention, main.sh:28-40): 1-indexed
+    ``u v [w]`` coordinate lines under a
+    ``%%MatrixMarket matrix coordinate <real|pattern> <symmetric|general>``
+    header.
+
+    ``symmetric=True`` writes each undirected edge once as its
+    lower-triangle representative (src >= dst after mirroring
+    collapse — exactly what read_mtx re-mirrors), halving the file as
+    the reference corpus does. Body lines are produced and ordered
+    distributed (sort by (src, dst) for a canonical byte stream), then
+    streamed to the driver ONCE via toLocalIterator — the driver holds
+    a partition at a time, not the file; at 100 TB scale the same body
+    select writes straight to parquet/text sinks instead, the local
+    single-file format being a small-graph interchange convenience by
+    construction.
+    """
+    e = edges.select("src", "dst", "w")
+    if symmetric:
+        e = e.where(F.col("src") >= F.col("dst"))
+    if n_vertices is None:
+        n_vertices = (
+            edges.select(F.greatest(F.max("src"), F.max("dst")).alias("m"))
+            .first()["m"]
+            + 1
+        )
+    body = (
+        e.withColumn(
+            "line",
+            F.concat_ws(
+                " ",
+                (F.col("src") + 1).cast("string"),
+                (F.col("dst") + 1).cast("string"),
+                *(
+                    [
+                        F.when(
+                            F.col("w")
+                            == F.col("w").cast("long").cast("double"),
+                            F.col("w").cast("long").cast("string"),
+                        ).otherwise(F.col("w").cast("string"))
+                    ]
+                    if weighted
+                    else []
+                ),
+            ),
+        )
+        .orderBy("src", "dst")
+        .select("line")
+    )
+    nnz = e.count()
+    field = "real" if weighted else "pattern"
+    sym = "symmetric" if symmetric else "general"
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(f"%%MatrixMarket matrix coordinate {field} {sym}\n")
+        f.write(f"{n_vertices} {n_vertices} {nnz}\n")
+        for row in body.toLocalIterator():
+            f.write(row["line"])
+            f.write("\n")

@@ -203,3 +203,58 @@ def test_mtx_midsize_end_to_end_auto(spark, tmp_path):
     assert got == {i: c for i, c in enumerate(want.membership)}
     assert abs(res.modularity - want.modularity) <= 1e-9
     assert res.modularity > 0.3  # power-law graph clusters well
+
+
+def test_write_mtx_roundtrip(spark, tmp_path):
+    """write_mtx → read_mtx is the identity on a symmetric weighted
+    graph (lower-triangle file representation, 1-indexed)."""
+    from louvain_communities_openmp_spark.sources.mtx import (
+        read_mtx,
+        write_mtx,
+    )
+
+    und = [(0, 1, 2.0), (1, 2, 1.0), (2, 3, 1.5), (0, 3, 1.0), (3, 3, 4.0)]
+    e = spark.createDataFrame(
+        [
+            (s, d, w)
+            for a, b, w in und
+            for s, d in ({(a, b), (b, a)})
+        ],
+        "src long, dst long, w double",
+    )
+    p = str(tmp_path / "rt.mtx")
+    write_mtx(e, p, n_vertices=4)
+    g = read_mtx(spark, p)
+    assert g.symmetric and g.n_vertices == 4
+    got = {
+        (r["src"], r["dst"]): r["w"] for r in g.edges.collect()
+    }
+    exp = {}
+    for a, b, w in und:
+        exp[(a, b)] = w
+        exp[(b, a)] = w
+    assert got == exp
+    # integral weights serialize as integers, like the reference corpus
+    with open(p) as f:
+        lines = f.read().splitlines()
+    assert lines[0] == "%%MatrixMarket matrix coordinate real symmetric"
+    assert "2" in lines[2].split() and not any("2.0" in x for x in lines[2:])
+
+
+def test_write_mtx_pattern_roundtrip(spark, tmp_path):
+    from louvain_communities_openmp_spark.sources.mtx import (
+        read_mtx,
+        write_mtx,
+    )
+
+    und = [(0, 1), (1, 2)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    p = str(tmp_path / "pat.mtx")
+    write_mtx(e, p, weighted=False)
+    g = read_mtx(spark, p)
+    assert g.field == "pattern"
+    assert g.edges.count() == 4
+    assert {r["w"] for r in g.edges.collect()} == {1.0}

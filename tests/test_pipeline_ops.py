@@ -633,3 +633,26 @@ def test_repetition_features(spark):
     assert rows[4]["top_bigram_frac"] is None
     assert rows[5]["n_tokens"] == 0
     assert rows[5]["top_word_frac"] is None
+
+
+def test_knn_classify_majority(spark):
+    from louvain_communities_openmp_spark.operators.similarity import (
+        knn_classify,
+    )
+
+    # two well-separated clusters in 2-D; labels follow clusters
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0 + 0.01 * i, 0.0], 7))       # cluster A, label 7
+    for i in range(6, 12):
+        rows.append((i, [0.0, 1.0 + 0.01 * i], 3))       # cluster B, label 3
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = emb.where(F.col("vec_id").isin(0, 6))
+    got = {
+        r["query_id"]: r
+        for r in knn_classify(emb, q, k=5).collect()
+    }
+    assert got[0]["pred_label"] == 7 and got[0]["votes"] == 5
+    assert got[6]["pred_label"] == 3 and got[6]["votes"] == 5
