@@ -710,6 +710,53 @@ def _q_events_transitions(spark, sf):
     )
 
 
+def _q_events_funnel(spark, sf):
+    """Ordered funnel conversion view→click→purchase: per user, the
+    earliest view, the earliest click strictly after it, the earliest
+    purchase strictly after that; one row per stage with the user count
+    that reached it. Three user-keyed min-aggregates chained by
+    vertex-sized joins — no window over the raw event stream."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+
+    def first_after(etype, prev, prev_ts, out):
+        base = ev.where(F.col("event_type") == etype)
+        if prev is None:
+            return base.groupBy("user_id").agg(F.min("ts").alias(out))
+        return (
+            base.join(prev, "user_id")
+            .where(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s1 = first_after("view", None, None, "t1")
+    s2 = first_after("click", s1, "t1", "t2")
+    s3 = first_after("purchase", s2, "t2", "t3")
+    return (
+        spark.createDataFrame(
+            [(1, "view"), (2, "click"), (3, "purchase")],
+            "step int, event_type string",
+        )
+        .join(
+            s1.agg(F.count("*").alias("n")).select(
+                F.lit(1).alias("step"), "n"
+            )
+            .unionByName(
+                s2.agg(F.count("*").alias("n")).select(
+                    F.lit(2).alias("step"), "n"
+                )
+            )
+            .unionByName(
+                s3.agg(F.count("*").alias("n")).select(
+                    F.lit(3).alias("step"), "n"
+                )
+            ),
+            "step",
+        )
+        .select("step", "event_type", F.col("n").cast("long").alias("n_users"))
+    )
+
+
 def _q_eccentricity(spark, sf):
     """Per-pivot eccentricity + reached count from the 8 smallest-id
     sources — the sampled pseudo-diameter probe; same BFS kernel as
@@ -938,6 +985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_walks16": _q_walks,
         "g_egonet2": _q_egonet2,
         "e_knn10": _q_knn_classify,
+        "ev_funnel": _q_events_funnel,
     }
 
 
@@ -1963,6 +2011,29 @@ ORDER BY common_neighbors DESC, a, b"""
     )
     out["g_harmonic8"] = _harmonic_sql(n_sources=8, rounds=12)
     out["g_ecc8"] = _ecc_sql(n_sources=8, rounds=12)
+    out["ev_funnel"] = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS event_type,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)"""
     out["e_knn10"] = """
 WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
