@@ -41,7 +41,16 @@ def connected_components(
     edges: DataFrame,
     max_iter: int = 200,
     broadcast_vertices: int = 5_000_000,
+    initial_components: DataFrame | None = None,
 ) -> ComponentsResult:
+    """``initial_components`` (id, comp) warm-starts the label arrays —
+    valid whenever the provided labels are a REFINEMENT upper bound of
+    the true components with every label itself a present vertex id
+    (e.g. the previous version's labels after insert-only deltas:
+    components only merge under insertion, and hash-min then converges
+    to min-over-initial-labels = the true min vertex id per component,
+    in rounds proportional to the DELTA's reach, not the diameter).
+    Vertices absent from the frame seed as singletons."""
     # Two regimes, same answer (see labelprop.py for the full rationale):
     # - V small: e partitioned on the AGGREGATION key (dst), frontier
     #   BROADCAST into the src join → the hash-min phase runs with zero
@@ -59,11 +68,22 @@ def connected_components(
     )
     # eager localCheckpoint per round: truncates lineage and avoids the
     # unpersist-cascade recompute (see labelprop.py)
-    comp = (
-        verts
-        .select("id", F.col("id").alias("comp"))
-        .localCheckpoint(eager=True)
-    )
+    if initial_components is not None:
+        comp = (
+            verts.join(
+                initial_components.select("id", F.col("comp").alias("c0")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("c0", F.col("id")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    else:
+        comp = (
+            verts
+            .select("id", F.col("id").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
     # frontier: vertices whose label may still shrink (all, initially)
     frontier = comp
     it = 0

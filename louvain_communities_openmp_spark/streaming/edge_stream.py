@@ -54,6 +54,11 @@ class EdgeStateStore:
             return self.spark.createDataFrame([], "src long, dst long, w double")
         return self.spark.read.parquet(os.path.join(self._vdir(v), "edges"))
 
+    def commit_meta(self, version: int) -> dict:
+        """The _COMMIT.json record of a committed version."""
+        with open(os.path.join(self._vdir(version), "_COMMIT.json")) as f:
+            return json.load(f)
+
     def commit(self, edges: DataFrame, batch_id: int, stats: dict) -> int:
         v = (self.latest_version() or 0) + 1 if self.latest_version() is not None else 0
         d = self._vdir(v)
@@ -85,7 +90,12 @@ def apply_delta_batch(store: EdgeStateStore, batch: DataFrame, batch_id: int) ->
     )
     new_edges = apply_batch(edges, dels, ins)
     n = new_edges.count()
-    return store.commit(new_edges, batch_id, {"edges": n})
+    # n_dels in the commit record lets incremental maintainers
+    # (DynamicComponents) pick the warm path for insert-only batches —
+    # component labels are monotone under insertion but not deletion
+    return store.commit(
+        new_edges, batch_id, {"edges": n, "n_dels": dels.count()}
+    )
 
 
 def start_edge_delta_stream(

@@ -163,3 +163,52 @@ def test_deterministic_walks(spark):
     )
     drows = deterministic_walks(dpath, n_sources=1, walk_len=5).collect()
     assert sorted((r["step"], r["v"]) for r in drows) == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_salted_join_parity_and_spread(spark):
+    from louvain_communities_openmp_spark.operators.skew import (
+        hot_keys,
+        salted_join,
+    )
+
+    # hub vertex 0 carries 400 edges; cold vertices carry ~4 each
+    rows = [(0, 1000 + i, 1.0) for i in range(400)]
+    rows += [(v, 100 * v + j, 1.0) for v in range(1, 20) for j in range(4)]
+    e = spark.createDataFrame(rows, "src long, dst long, w double")
+    state = spark.createDataFrame(
+        [(v, v % 5) for v in range(0, 20)], "src long, com long"
+    )
+    hot = {r["_hk"] for r in hot_keys(e, "src", 100).collect()}
+    assert hot == {0}
+
+    plain = e.join(state, "src")
+    salted = salted_join(e, state, "src", hot_threshold=100, n_salts=8)
+    assert sorted(salted.columns) == sorted(plain.columns)
+    a = {tuple(r) for r in plain.select("src", "dst", "w", "com").collect()}
+    b = {tuple(r) for r in salted.select("src", "dst", "w", "com").collect()}
+    assert a == b  # row-for-row identical to the unsalted join
+
+    # the hub's rows actually split across several (key, salt) join
+    # keys — the property that turns one hub reducer into n_salts of
+    # them (partition-id checks are no good here: AQE re-coalesces
+    # this tiny shuffle into one partition)
+    with_salt = salted_join(
+        e, state, "src", hot_threshold=100, n_salts=8, keep_salt=True
+    )
+    hub_salts = (
+        with_salt.where(F.col("src") == 0).select("_salt").distinct().count()
+    )
+    assert hub_salts >= 4, "hot key not split across salts"
+    cold_salts = (
+        with_salt.where(F.col("src") == 5).select("_salt").distinct().count()
+    )
+    assert cold_salts == 1  # cold keys stay unsplit (no replication cost)
+
+    # determinism: same result on a re-run with different partitioning
+    again = {
+        tuple(r)
+        for r in salted_join(
+            e.repartition(13), state, "src", hot_threshold=100, n_salts=8
+        ).select("src", "dst", "w", "com").collect()
+    }
+    assert again == a

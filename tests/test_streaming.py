@@ -227,3 +227,55 @@ def test_dynamic_pagerank_warm_start_over_versions(spark, tmp_path):
         assert abs(got[r["id"]] - r["rank"]) < 1e-6, r["id"]
     # rank snapshots are probability vectors
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_dynamic_components_warm_and_cold(spark, tmp_path):
+    """CC maintainer: insert-only deltas take the warm path (previous
+    labels merge in ~1-2 rounds, exact vs cold); a deletion batch
+    forces the cold path; both land on the cold-truth labels."""
+    from louvain_communities_openmp_spark.operators.components import (
+        connected_components,
+    )
+    from louvain_communities_openmp_spark.streaming.dynamic_components import (
+        DynamicComponents,
+    )
+
+    # two far-apart paths: 0-1-2-3 and 10-11-12-13
+    und = [(i, i + 1) for i in range(3)] + [(i, i + 1) for i in range(10, 13)]
+    e0 = edges_from_list(spark, [(a, b, 1.0) for a, b in und] + [(b, a, 1.0) for a, b in und])
+    store = EdgeStateStore(spark, str(tmp_path / "state"))
+    store.commit(e0, 0, {})
+    dc = DynamicComponents(store)
+    v0, res0, mode0 = dc.update_to_latest()
+    assert (v0, mode0) == (0, "cold")
+    assert dc.update_to_latest() is None  # current
+
+    # insert-only delta bridging the two components -> warm path
+    ins = spark.createDataFrame(
+        [("ins", 3, 10, 1.0)], "op string, src long, dst long, w double"
+    )
+    apply_delta_batch(store, ins, 1)
+    v1, res1, mode1 = dc.update_to_latest()
+    assert (v1, mode1) == (1, "warm")
+    cold1 = connected_components(store.load(1))
+    got = {r["id"]: r["comp"] for r in dc.load_components(1).collect()}
+    exp = {r["id"]: r["comp"] for r in cold1.components.collect()}
+    assert got == exp                       # exact labels
+    assert set(got.values()) == {0}         # merged into one component
+    # warm convergence beats the cold run on the same graph
+    assert res1.iterations <= cold1.iterations
+
+    # deletion splits the bridge again -> cold path, still exact
+    dels = spark.createDataFrame(
+        [("del", 3, 10, 1.0)], "op string, src long, dst long, w double"
+    )
+    apply_delta_batch(store, dels, 2)
+    v2, res2, mode2 = dc.update_to_latest()
+    assert (v2, mode2) == (2, "cold")
+    got2 = {r["id"]: r["comp"] for r in dc.load_components(2).collect()}
+    exp2 = {
+        r["id"]: r["comp"]
+        for r in connected_components(store.load(2)).components.collect()
+    }
+    assert got2 == exp2
+    assert set(got2.values()) == {0, 10}
