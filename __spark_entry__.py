@@ -630,6 +630,123 @@ def _q_events_sessions(spark, sf):
     )
 
 
+def _q_pmi(spark, sf):
+    """Association ranking on the co-occurrence graph: top-100 part
+    pairs by lift = N·c(a,b)/(c(a)·c(b)) with N = total co-occurrence
+    weight — the market-basket / PMI primitive (PMI = log lift).
+    Ranked by (round(lift,6) desc, a, b); support ≥ 3 drops noise
+    pairs. Vertex marginals are one aggregate of the edge table; the
+    score join is edge-sized with two vertex-sized joins."""
+    e = coorder_edges(spark, sf)
+    und = e.where(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), "w"
+    )
+    marg = (
+        e.groupBy(F.col("src").alias("id"))
+        .agg(F.sum("w").alias("c"))
+    )
+    n_total = und.agg(F.sum("w")).first()[0]
+    ma = marg.select(F.col("id").alias("a"), F.col("c").alias("ca"))
+    mb = marg.select(F.col("id").alias("b"), F.col("c").alias("cb"))
+    return (
+        und.where(F.col("w") >= 3)
+        .join(ma, "a")
+        .join(mb, "b")
+        .select(
+            "a",
+            "b",
+            F.col("w").cast("long").alias("support"),
+            F.round(
+                F.lit(float(n_total)) * F.col("w")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(100)
+    )
+
+
+def _q_bigram_next(spark, sf):
+    """Bigram language model head: for each of the 50 most frequent
+    first words, the most likely next word with its conditional
+    probability — the autocomplete/LM-inspection table. Two map-side-
+    combined aggregates + a per-first-word argmax window over
+    vocabulary-sized rows."""
+    from pyspark.sql import Window as W
+
+    from louvain_communities_openmp_spark.functions.text import tokens
+
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    grams = F.when(n < 2, F.array().cast("array<array<string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array(F.element_at(t, i), F.element_at(t, i + 1)),
+        )
+    )
+    pairs = (
+        _docs(spark, sf)
+        .select(F.explode(grams).alias("g"))
+        .select(
+            F.element_at("g", 1).alias("w1"), F.element_at("g", 2).alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    ).persist()
+    tot = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    w_arg = W.partitionBy("w1").orderBy(F.desc("c12"), F.asc("w2"))
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w_arg))
+        .where(F.col("rn") == 1)
+        .join(tot, "w1")
+        .select(
+            "w1",
+            F.col("w2").alias("next_word"),
+            F.col("c12").cast("long").alias("pair_count"),
+            F.col("c1").cast("long").alias("first_count"),
+            F.round(F.col("c12") / F.col("c1"), 6).alias("p_next"),
+        )
+    )
+    out = (
+        best.orderBy(F.col("first_count").desc(), F.col("w1").asc())
+        .limit(50)
+    )
+    return out
+
+
+def _q_community_density(spark, sf):
+    """Per-community edge density under the mod-64 partition:
+    internal undirected edge count / C(size, 2) — the cohesion
+    diagnostic run per Louvain community at scale. One membership
+    double-join + two map-side-combined aggregates."""
+    e = coorder_edges(spark, sf)
+    mem = _mod64_membership(e)
+    ms = mem.select(F.col("id").alias("src"), F.col("com").alias("cs"))
+    md = mem.select(F.col("id").alias("dst"), F.col("com").alias("cd"))
+    internal = (
+        e.where(F.col("src") < F.col("dst"))
+        .join(ms, "src")
+        .join(md, "dst")
+        .where(F.col("cs") == F.col("cd"))
+        .groupBy(F.col("cs").alias("com"))
+        .agg(F.count("*").alias("internal_edges"))
+    )
+    sizes = mem.groupBy("com").agg(F.count("*").alias("size"))
+    return sizes.join(internal, "com", "left").select(
+        "com",
+        "size",
+        F.coalesce("internal_edges", F.lit(0)).cast("long").alias(
+            "internal_edges"
+        ),
+        F.round(
+            F.coalesce("internal_edges", F.lit(0))
+            / (F.col("size") * (F.col("size") - 1) / 2.0),
+            6,
+        ).alias("density"),
+    )
+
+
 def _q_walks(spark, sf):
     """Deterministic fixed-length walks (GNN neighborhood sampling)
     from the 16 smallest-id vertices: 8 steps, neighbor choice =
@@ -986,6 +1103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_egonet2": _q_egonet2,
         "e_knn10": _q_knn_classify,
         "ev_funnel": _q_events_funnel,
+        "g_pmi100": _q_pmi,
+        "d_bigram_next": _q_bigram_next,
+        "g_community_density_mod64": _q_community_density,
     }
 
 
@@ -2011,6 +2131,57 @@ ORDER BY common_neighbors DESC, a, b"""
     )
     out["g_harmonic8"] = _harmonic_sql(n_sources=8, rounds=12)
     out["g_ecc8"] = _ecc_sql(n_sources=8, rounds=12)
+    out["g_pmi100"] = (
+        f"WITH {_EDGES_CTE.strip()},\n"
+        """und AS (SELECT src AS a, dst AS b, w FROM edges WHERE src < dst),
+marg AS (SELECT src AS id, sum(w) AS c FROM edges GROUP BY src),
+nt AS (SELECT sum(w) AS n FROM und)
+SELECT a, b, CAST(u.w AS BIGINT) AS support,
+       round(nt.n * u.w / (ma.c * mb.c), 6) AS lift
+FROM und u JOIN marg ma ON u.a = ma.id JOIN marg mb ON u.b = mb.id, nt
+WHERE u.w >= 3
+ORDER BY lift DESC, a, b LIMIT 100"""
+    )
+    out["d_bigram_next"] = f"""
+WITH toks AS (
+  SELECT {_toks('text')} AS t FROM documents WHERE {_norm('text')} <> ''
+),
+pairs AS (
+  SELECT split_part(ngram, ' ', 1) AS w1, split_part(ngram, ' ', 2) AS w2,
+         count(*) AS c12
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])) AS ngram
+    FROM toks WHERE len(t) >= 2
+  ) GROUP BY 1, 2
+),
+tot AS (SELECT w1, sum(c12) AS c1 FROM pairs GROUP BY w1),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY w1 ORDER BY c12 DESC, w2 ASC) AS rn
+  FROM pairs
+)
+SELECT b.w1, b.w2 AS next_word, CAST(b.c12 AS BIGINT) AS pair_count,
+       CAST(t.c1 AS BIGINT) AS first_count,
+       round(b.c12 / CAST(t.c1 AS DOUBLE), 6) AS p_next
+FROM best b JOIN tot t ON b.w1 = t.w1 WHERE b.rn = 1
+ORDER BY first_count DESC, b.w1 LIMIT 50"""
+    out["g_community_density_mod64"] = (
+        f"WITH {_EDGES_CTE.strip()},\n"
+        """v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+mem AS (SELECT id, id % 64 AS com FROM v),
+sizes AS (SELECT com, count(*) AS size FROM mem GROUP BY com),
+internal AS (
+  SELECT ms.com, count(*) AS internal_edges
+  FROM edges e JOIN mem ms ON e.src = ms.id JOIN mem md ON e.dst = md.id
+  WHERE e.src < e.dst AND ms.com = md.com GROUP BY ms.com
+)
+SELECT s.com, CAST(s.size AS BIGINT) AS size,
+       CAST(coalesce(i.internal_edges, 0) AS BIGINT) AS internal_edges,
+       round(coalesce(i.internal_edges, 0)
+             / (s.size * (s.size - 1) / 2.0), 6) AS density
+FROM sizes s LEFT JOIN internal i ON s.com = i.com"""
+    )
     out["ev_funnel"] = """
 WITH s1 AS (
   SELECT user_id, min(ts) AS t1 FROM events
