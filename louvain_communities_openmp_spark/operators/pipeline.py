@@ -234,13 +234,16 @@ def tfidf_topk_per_doc(
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("token").asc()
     )
-    out = (
+    # tf stays persisted: the RETURNED plan reads it twice (tf rows +
+    # the df aggregate) — unpersisting here, before the caller's
+    # action, would force both reads to recompute the explode. The
+    # cache is (doc, distinct-token)-sized and is reclaimed by Spark's
+    # context cleaner once the frame is unreachable.
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k_per_doc)
         .select(id_col, "token", "tf", "tfidf")
     )
-    tf.unpersist()
-    return out
 
 
 def unigram_lm_score(
@@ -288,13 +291,13 @@ def unigram_lm_score(
             ).alias("avg_logp"),
         )
     )
-    out = docs.select(id_col).join(per_doc, id_col, "left").select(
+    # tf stays persisted for the same reason as tfidf_topk_per_doc:
+    # the returned plan reads it twice (scoring join + unigram model)
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
         id_col,
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         "avg_logp",
     )
-    tf.unpersist()
-    return out
 
 
 def chunk_dedup(

@@ -60,11 +60,14 @@ def deterministic_walks(
     smallest-id vertices. Returns (walk_id, step, v): step 0 is the
     source itself; a walk that reaches a vertex with no out-edges
     simply has no later rows."""
+    # persisted: the returned plan references adj once per step — the
+    # cache makes the caller's action build it once, not walk_len times
     adj = (
         edges.select("src", "dst")
         .distinct()
         .groupBy("src")
         .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        .persist()
     )
     cur = (
         vertices(edges)
