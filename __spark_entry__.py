@@ -874,6 +874,40 @@ def _q_events_funnel(spark, sf):
     )
 
 
+def _q_events_retention(spark, sf):
+    """Weekly cohort retention: users bucketed by their first-activity
+    week (cohort), counted in every later week they return —
+    (cohort_week, week_offset, n_users, retention). Two user-keyed
+    aggregates + one distinct — the standard growth-analytics rollup,
+    with week = floor(days-since-epoch / 7) so the bucketing is
+    calendar-independent and engine-portable."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    wk = (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) / 7).cast(
+        "long"
+    )
+    uw = ev.select("user_id", wk.alias("week")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    ret = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    return ret.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.round(F.col("n_users") / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )
+
+
 def _q_eccentricity(spark, sf):
     """Per-pivot eccentricity + reached count from the 8 smallest-id
     sources — the sampled pseudo-diameter probe; same BFS kernel as
@@ -1106,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pmi100": _q_pmi,
         "d_bigram_next": _q_bigram_next,
         "g_community_density_mod64": _q_community_density,
+        "ev_retention": _q_events_retention,
     }
 
 
@@ -2131,6 +2166,25 @@ ORDER BY common_neighbors DESC, a, b"""
     )
     out["g_harmonic8"] = _harmonic_sql(n_sources=8, rounds=12)
     out["g_ecc8"] = _ecc_sql(n_sources=8, rounds=12)
+    out["ev_retention"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(datediff('day', DATE '1970-01-01',
+                             CAST(ts AS DATE)) / 7.0) AS BIGINT) AS week
+  FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+sizes AS (SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+          FROM cohort GROUP BY cohort_week),
+ret AS (
+  SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
+         count(DISTINCT u.user_id) AS n_users
+  FROM uw u JOIN cohort c ON u.user_id = c.user_id
+  GROUP BY c.cohort_week, u.week - c.cohort_week
+)
+SELECT r.cohort_week, r.week_offset, CAST(r.n_users AS BIGINT) AS n_users,
+       round(r.n_users / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM ret r JOIN sizes s ON r.cohort_week = s.cohort_week"""
     out["g_pmi100"] = (
         f"WITH {_EDGES_CTE.strip()},\n"
         """und AS (SELECT src AS a, dst AS b, w FROM edges WHERE src < dst),

@@ -31,6 +31,7 @@ def label_propagation(
     edges: DataFrame,
     max_iter: int = 10,
     broadcast_vertices: int = 5_000_000,
+    debug_plans: list | None = None,
 ) -> LabelPropResult:
     # Two regimes, same answer (gate mirrors Louvain's broadcast_vertices):
     #
@@ -78,6 +79,14 @@ def label_propagation(
         best = scored.groupBy(F.col("src").alias("id")).agg(
             F.max_by("nl", F.struct(F.col("wt"), (-F.col("nl")).alias("neg"))).alias("new_label")
         )
+        if debug_plans is not None:
+            # test hook: execute the round body standalone and record
+            # its physical plan so the exchange-free property of the
+            # broadcast regime stays pinned by pytest
+            best.count()
+            debug_plans.append(
+                best._jdf.queryExecution().executedPlan().toString()
+            )
         merged = (
             labels.join(best, "id", "left")
             .select(

@@ -355,3 +355,43 @@ def test_eccentricities_path(spark):
     rows = {r["s"]: r for r in eccentricities(e, n_sources=2).collect()}
     assert rows[0]["ecc"] == 4 and rows[0]["n_reached"] == 5
     assert rows[1]["ecc"] == 3 and rows[1]["n_reached"] == 5
+
+
+def test_labelprop_broadcast_round_is_exchange_free(spark):
+    """The designed scale property of the broadcast regime, pinned as a
+    plan assertion: a label-propagation round's own operators (above
+    the cached static edge table) contain broadcast exchanges only —
+    no shuffle Exchange. Regressing the partitioning/broadcast layout
+    re-introduces an edge-sized per-round shuffle and fails here."""
+    from louvain_communities_openmp_spark.operators.labelprop import (
+        label_propagation,
+    )
+
+    und = [(i, (i * 3) % 40) for i in range(40)] + [(i, i + 1) for i in range(39)]
+    e = spark.createDataFrame(
+        [
+            (s, d, 1.0)
+            for a, b in und
+            if a != b
+            for s, d in ((a, b), (b, a))
+        ],
+        "src long, dst long, w double",
+    )
+    plans = []
+    label_propagation(e, max_iter=2, debug_plans=plans)
+    assert plans
+    for plan in plans:
+        lines = plan.splitlines()
+        # the static table appears as a cached scan; everything above
+        # it is this round's own dataflow
+        cut = next(
+            i
+            for i, ln in enumerate(lines)
+            if "InMemoryTableScan" in ln or "TableCacheQueryStage" in ln
+        )
+        bad = [
+            ln
+            for ln in lines[:cut]
+            if "Exchange" in ln and "BroadcastExchange" not in ln
+        ]
+        assert not bad, bad
