@@ -279,3 +279,68 @@ def test_dynamic_components_warm_and_cold(spark, tmp_path):
     }
     assert got2 == exp2
     assert set(got2.values()) == {0, 10}
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer: sessions survive across
+    micro-batches in the state store and are emitted exactly once,
+    when a later event closes them; rollups match the batch
+    session_window computed over the closed portion."""
+    import glob
+    import shutil
+
+    from louvain_communities_openmp_spark.streaming.stateful_sessions import (
+        sessionize_stream,
+    )
+
+    in_dir = str(tmp_path / "ev_in")
+    os.makedirs(in_dir)
+    schema = "user_id long, ts timestamp, value double"
+    batches = [
+        # batch 0: u1 two events in one session; u2 one event
+        [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 00:10:00", 2.0),
+         (2, "2024-01-01 01:00:00", 5.0)],
+        # batch 1: u1 event 2h later -> closes session A (3 events? no:
+        # closes the 2-event session, opens a new one); u2 event 10min
+        # later -> same open session (nothing emitted for u2)
+        [(1, "2024-01-01 02:30:00", 4.0), (2, "2024-01-01 01:10:00", 1.0)],
+        # batch 2: u2 event 3h later -> closes u2's 2-event session
+        [(2, "2024-01-01 04:30:00", 9.0)],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).select(
+            "user_id", F.to_timestamp("ts").alias("ts"), "value"
+        )
+        d = f"{in_dir}/b{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = glob.glob(f"{d}/part-*.parquet")[0]
+        shutil.move(part, f"{in_dir}/{i:04d}.parquet")
+        shutil.rmtree(d)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = (
+        sessionize_stream(stream, gap_seconds=1800.0)
+        .writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], str(r["session_start"])): r
+        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+    }
+    # exactly the two closed sessions, emitted once each
+    assert len(got) == 2
+    u1 = got[(1, "2024-01-01 00:00:00")]
+    assert str(u1["session_end"]) == "2024-01-01 00:10:00"
+    assert u1["n_events"] == 2 and abs(u1["value_sum"] - 3.0) < 1e-9
+    u2 = got[(2, "2024-01-01 01:00:00")]
+    assert str(u2["session_end"]) == "2024-01-01 01:10:00"
+    assert u2["n_events"] == 2 and abs(u2["value_sum"] - 6.0) < 1e-9
