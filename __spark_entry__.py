@@ -874,6 +874,18 @@ def _q_events_funnel(spark, sf):
     )
 
 
+def _q_corpus_profile(spark, sf):
+    """Per-source dataset-card statistics: doc counts, exact distinct
+    content, total/percentile chars. The exact mode is the oracle
+    twin; the one-pass HLL/t-digest mode (exact=False) is the 100 TB
+    path, its error pinned by pytest against this one."""
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        corpus_profile,
+    )
+
+    return corpus_profile(_docs(spark, sf), exact=True)
+
+
 def _q_events_retention(spark, sf):
     """Weekly cohort retention: users bucketed by their first-activity
     week (cohort), counted in every later week they return —
@@ -1141,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_bigram_next": _q_bigram_next,
         "g_community_density_mod64": _q_community_density,
         "ev_retention": _q_events_retention,
+        "d_corpus_profile": _q_corpus_profile,
     }
 
 
@@ -2166,6 +2179,13 @@ ORDER BY common_neighbors DESC, a, b"""
     )
     out["g_harmonic8"] = _harmonic_sql(n_sources=8, rounds=12)
     out["g_ecc8"] = _ecc_sql(n_sources=8, rounds=12)
+    out["d_corpus_profile"] = """
+SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95_chars
+FROM documents GROUP BY source"""
     out["ev_retention"] = """
 WITH uw AS (
   SELECT DISTINCT user_id,

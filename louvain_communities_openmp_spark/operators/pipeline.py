@@ -411,3 +411,54 @@ def repetition_features(
             ),
         )
     )
+
+
+def corpus_profile(
+    docs: DataFrame,
+    group_col: str = "source",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group corpus profile: document count, distinct-content
+    count, and n_chars percentiles — the dataset-card statistics table.
+
+    ``exact=True`` (default; oracle-checkable) uses exact distinct and
+    exact interpolated percentiles. ``exact=False`` is the 100 TB
+    path: HyperLogLog distinct (approx_count_distinct) and t-digest
+    percentiles (percentile_approx) — one pass, bounded memory, no
+    exact-distinct shuffle of the hash column; pytest pins its error
+    against the exact twin (rel. error < 5% at HLL's default 0.05 rsd).
+    """
+    if exact:
+        distinct = F.countDistinct(F.md5("text")).alias("n_distinct")
+        p50 = F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias(
+            "p50_chars"
+        )
+        p95 = F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias(
+            "p95_chars"
+        )
+    else:
+        distinct = F.approx_count_distinct(F.md5("text")).alias("n_distinct")
+        p50 = F.percentile_approx("n_chars", F.lit(0.5), F.lit(10000)).cast(
+            "double"
+        ).alias("p50_chars")
+        p95 = F.percentile_approx("n_chars", F.lit(0.95), F.lit(10000)).cast(
+            "double"
+        ).alias("p95_chars")
+    return (
+        docs.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            distinct,
+            F.sum("n_chars").alias("total_chars"),
+            p50,
+            p95,
+        )
+        .select(
+            "grp",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            "p50_chars",
+            "p95_chars",
+        )
+    )

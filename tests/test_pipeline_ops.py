@@ -656,3 +656,32 @@ def test_knn_classify_majority(spark):
     }
     assert got[0]["pred_label"] == 7 and got[0]["votes"] == 5
     assert got[6]["pred_label"] == 3 and got[6]["votes"] == 5
+
+
+def test_corpus_profile_approx_vs_exact(spark):
+    """The one-pass HLL/t-digest profile (the 100 TB path) stays
+    within sketch error of the exact twin: HLL default rsd 0.05 ->
+    distinct within 15%; t-digest with 10k accuracy -> percentiles
+    within one value-step of exact on this distribution."""
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        corpus_profile,
+    )
+
+    real = spark.read.parquet(f"{SF}/documents.parquet")
+    ex = {r["grp"]: r for r in corpus_profile(real, exact=True).collect()}
+    ap = {r["grp"]: r for r in corpus_profile(real, exact=False).collect()}
+    assert set(ex) == set(ap)
+    for g in ex:
+        assert ap[g]["n_docs"] == ex[g]["n_docs"]
+        assert ap[g]["total_chars"] == ex[g]["total_chars"]
+        if ex[g]["n_distinct"]:
+            rel = abs(ap[g]["n_distinct"] - ex[g]["n_distinct"]) / ex[g]["n_distinct"]
+            assert rel < 0.15, (g, ap[g]["n_distinct"], ex[g]["n_distinct"])
+        # percentile_approx returns an actual data value; exact linear
+        # interpolation lies between data values -> compare loosely
+        assert abs(ap[g]["p50_chars"] - ex[g]["p50_chars"]) <= max(
+            20, 0.2 * ex[g]["p50_chars"]
+        )
+        assert abs(ap[g]["p95_chars"] - ex[g]["p95_chars"]) <= max(
+            20, 0.2 * ex[g]["p95_chars"]
+        )
