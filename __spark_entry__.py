@@ -874,6 +874,53 @@ def _q_events_funnel(spark, sf):
     )
 
 
+def _q_supplier_projection(spark, sf):
+    """Bipartite projection: the part–supplier incidence collapsed to a
+    supplier co-part graph — top-100 supplier pairs by shared distinct
+    parts. The incidence is DISTINCT-ed first, so the per-part
+    quadratic is bounded by suppliers-per-part (≤4 in this corpus),
+    the projection analog of the wedge-join hub cap."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    a = ps.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa")
+    )
+    b = ps.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb")
+    )
+    return (
+        a.join(b, "pk")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.countDistinct("pk").alias("shared_parts"))
+        .orderBy(
+            F.col("shared_parts").desc(), F.col("sa").asc(), F.col("sb").asc()
+        )
+        .limit(100)
+    )
+
+
+def _q_edges_monthly(spark, sf):
+    """Temporal slice of the co-order graph: distinct co-occurring
+    part pairs ACTIVE per order month — the time-sliced graph-metrics
+    view (graph evolution over the corpus timeline)."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", F.date_trunc("month", "o_orderdate").alias("month")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("s"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("d"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("s") < F.col("d"))
+        .join(o, a.l_orderkey == o.o_orderkey)
+        .groupBy("month")
+        .agg(F.countDistinct("s", "d").alias("n_active_pairs"))
+    )
+
+
 def _q_corpus_profile(spark, sf):
     """Per-source dataset-card statistics: doc counts, exact distinct
     content, total/percentile chars. The exact mode is the oracle
@@ -1154,6 +1201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_community_density_mod64": _q_community_density,
         "ev_retention": _q_events_retention,
         "d_corpus_profile": _q_corpus_profile,
+        "g_supplier_proj100": _q_supplier_projection,
+        "g_edges_monthly": _q_edges_monthly,
     }
 
 
@@ -2179,6 +2228,22 @@ ORDER BY common_neighbors DESC, a, b"""
     )
     out["g_harmonic8"] = _harmonic_sql(n_sources=8, rounds=12)
     out["g_ecc8"] = _ecc_sql(n_sources=8, rounds=12)
+    out["g_supplier_proj100"] = """
+WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey FROM lineitem)
+SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
+       CAST(count(DISTINCT a.pk) AS BIGINT) AS shared_parts
+FROM ps a JOIN ps b ON a.pk = b.pk AND a.l_suppkey < b.l_suppkey
+GROUP BY sa, sb
+ORDER BY shared_parts DESC, sa, sb LIMIT 100"""
+    out["g_edges_monthly"] = """
+SELECT date_trunc('month', o.o_orderdate) AS month,
+       CAST(count(DISTINCT (a.l_partkey, b.l_partkey)) AS BIGINT)
+         AS n_active_pairs
+FROM lineitem a
+JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+JOIN orders o ON o.o_orderkey = a.l_orderkey
+GROUP BY month"""
     out["d_corpus_profile"] = """
 SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
