@@ -874,6 +874,17 @@ def _q_events_funnel(spark, sf):
     )
 
 
+def _q_sparsify(spark, sf):
+    """Deterministic 10% graph sparsification — the interactive
+    subsample of a web-scale edge table. Map-only; the verdict keys on
+    the sorted endpoint pair so the kept set stays symmetric."""
+    from louvain_communities_openmp_spark.operators.structure import (
+        sparsify_edges,
+    )
+
+    return sparsify_edges(coorder_edges(spark, sf), fraction=0.1)
+
+
 def _q_supplier_projection(spark, sf):
     """Bipartite projection: the part–supplier incidence collapsed to a
     supplier co-part graph — top-100 supplier pairs by shared distinct
@@ -1202,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_retention": _q_events_retention,
         "d_corpus_profile": _q_corpus_profile,
         "g_supplier_proj100": _q_supplier_projection,
+        "g_sparsify10": _q_sparsify,
         "g_edges_monthly": _q_edges_monthly,
     }
 
@@ -2228,6 +2240,13 @@ ORDER BY common_neighbors DESC, a, b"""
     )
     out["g_harmonic8"] = _harmonic_sql(n_sources=8, rounds=12)
     out["g_ecc8"] = _ecc_sql(n_sources=8, rounds=12)
+    out["g_sparsify10"] = (
+        f"WITH {_EDGES_CTE.strip()}\n"
+        """SELECT src, dst, w FROM edges
+WHERE substr(md5('g1|' || CAST(least(src, dst) AS VARCHAR) || '|'
+                 || CAST(greatest(src, dst) AS VARCHAR)), 1, 8)
+      < '1999999a'"""
+    )
     out["g_supplier_proj100"] = """
 WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey FROM lineitem)
 SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,

@@ -96,3 +96,25 @@ def disconnected_communities(edges: DataFrame, membership: DataFrame) -> DataFra
         .agg(F.countDistinct("comp").alias("n_parts"))
         .where(F.col("n_parts") > 1)
     )
+
+
+def sparsify_edges(
+    edges: DataFrame, fraction: float = 0.1, salt: str = "g1"
+) -> DataFrame:
+    """Deterministic graph sparsification: keep an undirected edge iff
+    md5(salt|min|max) falls below the fraction threshold — the
+    interactive-analysis subsample of a 100 TB graph. Hash-based like
+    the stratified document sampler (sampling.py): same (salt, edge) →
+    same verdict across runs, engines, and partitionings, and BOTH
+    directions of an undirected edge share one verdict (the key is the
+    sorted endpoint pair), so the sample stays symmetric. Map-only —
+    no shuffle, no RNG state.
+    """
+    from .sampling import _threshold_hex
+
+    lo = F.least("src", "dst").cast("string")
+    hi = F.greatest("src", "dst").cast("string")
+    bucket = F.substring(
+        F.md5(F.concat_ws("|", F.lit(salt), lo, hi)), 1, 8
+    )
+    return edges.where(bucket < F.lit(_threshold_hex(fraction)))

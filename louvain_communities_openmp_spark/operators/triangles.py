@@ -44,7 +44,7 @@ def _canonical(edges: DataFrame) -> DataFrame:
 
 def _oriented(edges: DataFrame) -> DataFrame:
     """Undirected edges oriented low-rank → high-rank, rank = (deg, id).
-    Output: (u, v, dv_deg, v_id) with rank(u) < rank(v)."""
+    Output: (u, v) with rank(u) < rank(v)."""
     c = _canonical(edges)
     deg = (
         c.select(F.col("src").alias("id"))
@@ -56,13 +56,12 @@ def _oriented(edges: DataFrame) -> DataFrame:
     dd = deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg"))
     ann = c.join(ds, "src").join(dd, "dst")
     fwd = F.struct("sdeg", "src") < F.struct("ddeg", "dst")
-    # partitioned on the wedge-join key before the callers cache it:
-    # both wedge sides are column-renames of this same table, so the
-    # u-join needs no exchange at all (see labelprop.py for the pattern)
+    # partitioned on the adjacency-build key before the callers cache
+    # it: the groupBy(u) in _triangles then needs no exchange (see
+    # labelprop.py for the pattern)
     return ann.select(
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
-        F.when(fwd, F.col("ddeg")).otherwise(F.col("sdeg")).alias("vdeg"),
     ).repartition("u")
 
 
