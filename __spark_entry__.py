@@ -874,6 +874,80 @@ def _q_events_funnel(spark, sf):
     )
 
 
+def _q_degree_gini(spark, sf):
+    """Gini coefficient of the degree distribution — the inequality
+    summary that quantifies hub concentration (power-law validation).
+    Computed from the degree HISTOGRAM (distinct-degree-value sized,
+    tiny) with rank runs expanded in closed form, so no global sort of
+    V rows: G = 2·Σ rank·deg / (n·Σdeg) − (n+1)/n."""
+    from pyspark.sql import Window as W
+
+    from louvain_communities_openmp_spark.operators.transforms import degrees
+
+    deg = degrees(coorder_edges(spark, sf))
+    hist = deg.groupBy("degree").agg(F.count("*").alias("c"))
+    w = W.orderBy("degree").rowsBetween(W.unboundedPreceding, W.currentRow)
+    h = hist.select(
+        "degree",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+    ).select(
+        # Σ_{i in this degree's rank run} i·degree
+        # = degree · (prev_cum + 1 + cum) · c / 2
+        (
+            F.col("degree")
+            * (F.col("cum") - F.col("c") + 1 + F.col("cum"))
+            * F.col("c")
+            / 2.0
+        ).alias("rank_weighted"),
+        (F.col("degree") * F.col("c")).alias("dsum"),
+        "c",
+    )
+    row = h.agg(
+        F.sum("rank_weighted").alias("rw"),
+        F.sum("dsum").alias("s"),
+        F.sum("c").alias("n"),
+    ).first()
+    n, s, rw = float(row["n"]), float(row["s"]), float(row["rw"])
+    gini = 2.0 * rw / (n * s) - (n + 1.0) / n
+    spark_df = spark.createDataFrame(
+        [(int(n), float(s))], "n_vertices long, total_degree double"
+    )
+    return spark_df.select(
+        "n_vertices",
+        F.col("total_degree").cast("long").alias("total_degree"),
+        F.round(F.lit(gini), 6).alias("gini"),
+    )
+
+
+def _q_richclub(spark, sf):
+    """Rich-club coefficients φ(k) = 2·E_k / (N_k·(N_k−1)) for k in
+    {10, 50, 100}: the density among vertices of degree > k — do hubs
+    preferentially interlink? Degrees join both edge endpoints; one
+    aggregate per threshold."""
+    from louvain_communities_openmp_spark.operators.transforms import degrees
+
+    e = coorder_edges(spark, sf)
+    deg = degrees(e)
+    ds = deg.select(F.col("id").alias("src"), F.col("degree").alias("dsrc"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("degree").alias("ddst"))
+    ann = (
+        e.where(F.col("src") < F.col("dst")).join(ds, "src").join(dd, "dst")
+    ).persist()
+    rows = []
+    for k in (10, 50, 100):
+        nk = deg.where(F.col("degree") > k).count()
+        ek = ann.where(
+            (F.col("dsrc") > k) & (F.col("ddst") > k)
+        ).count()
+        phi = (2.0 * ek / (nk * (nk - 1))) if nk > 1 else 0.0
+        rows.append((k, int(nk), int(ek), round(phi, 6)))
+    ann.unpersist()
+    return spark.createDataFrame(
+        rows, "k int, n_rich long, e_rich long, phi double"
+    )
+
+
 def _q_sparsify(spark, sf):
     """Deterministic 10% graph sparsification — the interactive
     subsample of a web-scale edge table. Map-only; the verdict keys on
@@ -1214,6 +1288,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_corpus_profile": _q_corpus_profile,
         "g_supplier_proj100": _q_supplier_projection,
         "g_sparsify10": _q_sparsify,
+        "g_degree_gini": _q_degree_gini,
+        "g_richclub": _q_richclub,
         "g_edges_monthly": _q_edges_monthly,
     }
 
@@ -2240,6 +2316,45 @@ ORDER BY common_neighbors DESC, a, b"""
     )
     out["g_harmonic8"] = _harmonic_sql(n_sources=8, rounds=12)
     out["g_ecc8"] = _ecc_sql(n_sources=8, rounds=12)
+    out["g_degree_gini"] = (
+        f"WITH {_EDGES_CTE.strip()},\n"
+        """deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY src),
+hist AS (SELECT degree, count(*) AS c FROM deg GROUP BY degree),
+h AS (
+  SELECT degree, c,
+         sum(c) OVER (ORDER BY degree
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+agg AS (
+  SELECT sum(degree * (cum - c + 1 + cum) * c / 2.0) AS rw,
+         sum(degree * c) AS s, sum(c) AS n
+  FROM h
+)
+SELECT CAST(n AS BIGINT) AS n_vertices, CAST(s AS BIGINT) AS total_degree,
+       round(2.0 * rw / (n * s) - (n + 1.0) / n, 6) AS gini
+FROM agg"""
+    )
+    out["g_richclub"] = (
+        f"WITH {_EDGES_CTE.strip()},\n"
+        """deg AS (SELECT src AS id, count(*) AS degree FROM edges GROUP BY src),
+c AS (SELECT e.src, e.dst FROM edges e WHERE e.src < e.dst),
+ann AS (
+  SELECT ds.degree AS dsrc, dd.degree AS ddst
+  FROM c JOIN deg ds ON c.src = ds.id JOIN deg dd ON c.dst = dd.id
+),
+ks AS (SELECT unnest([10, 50, 100]) AS k)
+SELECT CAST(ks.k AS INT) AS k,
+       (SELECT count(*) FROM deg WHERE degree > ks.k) AS n_rich,
+       (SELECT count(*) FROM ann WHERE dsrc > ks.k AND ddst > ks.k) AS e_rich,
+       CASE WHEN (SELECT count(*) FROM deg WHERE degree > ks.k) > 1
+            THEN round(2.0 * (SELECT count(*) FROM ann
+                              WHERE dsrc > ks.k AND ddst > ks.k)
+                 / ((SELECT count(*) FROM deg WHERE degree > ks.k)
+                    * ((SELECT count(*) FROM deg WHERE degree > ks.k) - 1)), 6)
+            ELSE 0.0 END AS phi
+FROM ks"""
+    )
     out["g_sparsify10"] = (
         f"WITH {_EDGES_CTE.strip()}\n"
         """SELECT src, dst, w FROM edges
