@@ -993,7 +993,8 @@ def _q_edges_monthly(spark, sf):
         "l_orderkey", "l_partkey"
     )
     o = spark.read.parquet(f"{sf}/orders.parquet").select(
-        "o_orderkey", F.date_trunc("month", "o_orderdate").alias("month")
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
     )
     a = li.select("l_orderkey", F.col("l_partkey").alias("s"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("d"))
@@ -2370,7 +2371,7 @@ FROM ps a JOIN ps b ON a.pk = b.pk AND a.l_suppkey < b.l_suppkey
 GROUP BY sa, sb
 ORDER BY shared_parts DESC, sa, sb LIMIT 100"""
     out["g_edges_monthly"] = """
-SELECT date_trunc('month', o.o_orderdate) AS month,
+SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
        CAST(count(DISTINCT (a.l_partkey, b.l_partkey)) AS BIGINT)
          AS n_active_pairs
 FROM lineitem a
