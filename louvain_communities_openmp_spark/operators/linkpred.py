@@ -81,7 +81,9 @@ def common_neighbors_topk(
 
     Wedges are enumerated by a self-join of the symmetric adjacency on
     the pivot; `max_pivot_degree` (if set) drops hub pivots BEFORE the
-    join, bounding the per-pivot quadratic. `is_edge` marks pairs that
+    join, bounding the per-pivot quadratic — making the count a
+    lower-bound approximation (hub-mediated wedges excluded; the
+    oracle twin applies the same cut). `is_edge` marks pairs that
     are already adjacent (link prediction ranks the non-adjacent ones).
     """
     sym = _simple_undirected(edges)
@@ -138,7 +140,10 @@ def adamic_adar_topk(
 
     Same wedge plan and hub cap as common_neighbors_topk — the pivot
     degree is already on the wedge row, so the score is one extra
-    map-side-combined SUM in the same shuffle.
+    map-side-combined SUM in the same shuffle. With
+    ``max_pivot_degree`` set, both the count and the score are
+    lower-bound approximations (hub-mediated wedges excluded); the
+    oracle twin applies the same cut.
     """
     sym = _simple_undirected(edges)
     pd = sym.groupBy(F.col("src").alias("u")).agg(F.count("*").alias("pdeg"))
@@ -182,6 +187,15 @@ def jaccard_topk(
     joins on the k result rows' endpoints — the degree table is
     vertex-sized but the join keys arrive AFTER the top-k cut, so only
     the shuffle for deg itself touches V rows.
+
+    With ``max_pivot_degree`` set, common_neighbors (and therefore
+    jaccard) is a LOWER-BOUND approximation: wedges mediated by a
+    dropped hub pivot are excluded from the intersection while the
+    degrees in the denominator still come from the full graph — the
+    same hub-cap semantics common_neighbors_topk / adamic_adar_topk
+    apply (their counts/scores are likewise approximate under the
+    cap). The DuckDB oracle twin applies the identical cut, so
+    cross-engine parity holds at either setting.
     """
     sym = _simple_undirected(edges)
     piv = sym

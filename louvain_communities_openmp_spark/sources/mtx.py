@@ -144,9 +144,15 @@ def write_mtx(
     header.
 
     ``symmetric=True`` writes each undirected edge once as its
-    lower-triangle representative (src >= dst after mirroring
-    collapse — exactly what read_mtx re-mirrors), halving the file as
-    the reference corpus does. Body lines are produced and ordered
+    lower-triangle representative (src >= dst — exactly what read_mtx
+    re-mirrors), halving the file as the reference corpus does. The
+    representative is produced by CANONICALIZING every row to
+    (max, min) and deduplicating with the engine's uniform max-w
+    policy (BASELINE.md "updateU flush"), so both common undirected
+    encodings round-trip: a fully mirrored table collapses to its
+    lower triangle, and a canonical src < dst half-edge table is
+    flipped rather than silently dropped (which would write an empty
+    body with nnz=0). Body lines are produced and ordered
     distributed (sort by (src, dst) for a canonical byte stream), then
     streamed to the driver ONCE via toLocalIterator — the driver holds
     a partition at a time, not the file; at 100 TB scale the same body
@@ -156,7 +162,15 @@ def write_mtx(
     """
     e = edges.select("src", "dst", "w")
     if symmetric:
-        e = e.where(F.col("src") >= F.col("dst"))
+        e = (
+            e.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+                "w",
+            )
+            .groupBy("src", "dst")
+            .agg(F.max("w").alias("w"))
+        )
     if n_vertices is None:
         n_vertices = (
             edges.select(F.greatest(F.max("src"), F.max("dst")).alias("m"))

@@ -14,10 +14,21 @@ Semantics (append mode):
 - each batch's events for a user are folded in event-time order; an
   event more than ``gap_seconds`` after last_ts CLOSES the open
   session (one output row) and opens a new one;
-- open sessions are never emitted — they are either closed by a later
-  event or remain in state (a production deployment adds an
-  event-time timeout to flush abandoned sessions; the drain-style
-  tests use closure-by-event so results are deterministic).
+- LATE data (an out-of-order event at or before the open session's
+  last_ts, e.g. arriving in a later micro-batch) folds into the open
+  session WITHOUT regressing its frontier: last_ts is monotone
+  (``max``), so a subsequent in-order event can never spuriously
+  close/split the session, and session_start extends backwards if the
+  late event predates it. An event later than an already-CLOSED
+  session's window cannot reopen it (the row was already emitted) —
+  the standard watermark trade-off; pair with ``watermark`` to bound
+  how late data can usefully arrive;
+- open sessions are closed by a later event, or — when ``watermark``
+  is given — flushed by an EVENT-TIME TIMEOUT once the watermark
+  passes last_ts + gap (abandoned sessions are emitted exactly once
+  instead of living in the state store forever). Without a watermark
+  they remain in state (the drain-style tests use closure-by-event so
+  results are deterministic).
 
 Scale shape: state is keyed by user_id — the shuffle is the same
 user-keyed exchange every stateful aggregation pays, the state row is
@@ -59,8 +70,23 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _fold_user(key, pdf_iter, state: GroupState, gap_seconds: float):
+def _fold_user(
+    key, pdf_iter, state: GroupState, gap_seconds: float, timeout: bool
+):
     (user_id,) = key
+    if timeout and state.hasTimedOut:
+        # abandoned session: the watermark passed last_ts + gap with no
+        # closing event — flush it exactly once, then clear the state
+        start, last, n, vsum = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [(user_id, start, last, n, vsum)],
+            columns=[
+                "user_id", "session_start", "session_end",
+                "n_events", "value_sum",
+            ],
+        )
+        return
     batch = pd.concat(list(pdf_iter), ignore_index=True)
     if len(batch) == 0:
         return
@@ -78,10 +104,20 @@ def _fold_user(key, pdf_iter, state: GroupState, gap_seconds: float):
             start, n, vsum = ts, 0, 0.0
         if start is None:
             start = ts
-        last = ts
+        # monotone frontier: a LATE event (ts <= last, cross-batch
+        # out-of-order) folds into the open session without regressing
+        # last_ts — `last = ts` here would let the next in-order event
+        # read a stale gap and spuriously close/split the session —
+        # and may extend session_start backwards
+        start = min(start, ts)
+        last = ts if last is None else max(last, ts)
         n += 1
         vsum += float(value)
     state.update((start, last, n, vsum))
+    if timeout:
+        from datetime import timedelta
+
+        state.setTimeoutTimestamp(last + timedelta(seconds=gap_seconds))
     if closed:
         yield pd.DataFrame(
             closed,
@@ -96,23 +132,36 @@ def _fold_user(key, pdf_iter, state: GroupState, gap_seconds: float):
 
 
 def sessionize_stream(
-    events: DataFrame, gap_seconds: float = 1800.0
+    events: DataFrame,
+    gap_seconds: float = 1800.0,
+    watermark: str | None = None,
 ) -> DataFrame:
     """events: streaming frame with (user_id long, ts timestamp,
     value double, ...). Returns the stream of CLOSED session rollups
-    (SESSION_SCHEMA), one row per session, append mode."""
+    (SESSION_SCHEMA), one row per session, append mode.
+
+    ``watermark`` (e.g. ``"10 minutes"``) enables the event-time
+    timeout path: the input gets ``withWatermark("ts", watermark)``
+    and sessions whose ``last_ts + gap`` falls behind the watermark
+    are flushed as closed rows (abandoned-session emission) instead of
+    living in the state store forever. Late events within the
+    watermark fold into the open session (see module docstring)."""
+    timeout = watermark is not None
 
     def fn(key, pdf_iter, state):
-        return _fold_user(key, pdf_iter, state, gap_seconds)
+        return _fold_user(key, pdf_iter, state, gap_seconds, timeout)
 
-    return (
-        events.select("user_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            fn,
-            outputStructType=SESSION_SCHEMA,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
-        )
+    src = events.select("user_id", "ts", "value")
+    if timeout:
+        src = src.withWatermark("ts", watermark)
+    return src.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )

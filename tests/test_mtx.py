@@ -258,3 +258,36 @@ def test_write_mtx_pattern_roundtrip(spark, tmp_path):
     assert g.field == "pattern"
     assert g.edges.count() == 4
     assert {r["w"] for r in g.edges.collect()} == {1.0}
+
+
+def test_write_mtx_halfedge_input(spark, tmp_path):
+    """symmetric=True accepts the OTHER common undirected encoding —
+    canonical src < dst half-edges — by canonicalizing to (max, min)
+    instead of silently writing an empty body (ADVICE r4). The file is
+    byte-identical to the one written from the mirrored table."""
+    from louvain_communities_openmp_spark.sources.mtx import (
+        read_mtx,
+        write_mtx,
+    )
+
+    und = [(0, 1, 2.0), (1, 2, 1.0), (2, 3, 1.5), (0, 3, 1.0)]
+    half = spark.createDataFrame(
+        [(min(a, b), max(a, b), w) for a, b, w in und],
+        "src long, dst long, w double",
+    )
+    mirrored = spark.createDataFrame(
+        [(s, d, w) for a, b, w in und for s, d in {(a, b), (b, a)}],
+        "src long, dst long, w double",
+    )
+    p_half = str(tmp_path / "half.mtx")
+    p_mir = str(tmp_path / "mir.mtx")
+    write_mtx(half, p_half, n_vertices=4)
+    write_mtx(mirrored, p_mir, n_vertices=4)
+    with open(p_half) as f1, open(p_mir) as f2:
+        assert f1.read() == f2.read()
+    g = read_mtx(spark, p_half)
+    assert g.n_entries == len(und)
+    got = {(r["src"], r["dst"]): r["w"] for r in g.edges.collect()}
+    assert got == {
+        (s, d): w for a, b, w in und for s, d in {(a, b), (b, a)}
+    }

@@ -344,3 +344,74 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     u2 = got[(2, "2024-01-01 01:00:00")]
     assert str(u2["session_end"]) == "2024-01-01 01:10:00"
     assert u2["n_events"] == 2 and abs(u2["value_sum"] - 6.0) < 1e-9
+
+
+def test_stateful_sessionize_late_events_and_timeout(spark, tmp_path):
+    """Late-data + abandoned-session semantics (ADVICE r4):
+    (a) a cross-batch OUT-OF-ORDER event folds into the open session
+    without regressing its last_ts frontier, so a later in-order event
+    inside the gap does NOT spuriously close/split the session;
+    (b) with a watermark, a session nobody ever closes is flushed by
+    the event-time timeout once the watermark passes last_ts + gap."""
+    import glob
+    import shutil
+
+    from louvain_communities_openmp_spark.streaming.stateful_sessions import (
+        sessionize_stream,
+    )
+
+    in_dir = str(tmp_path / "ev_in")
+    os.makedirs(in_dir)
+    schema = "user_id long, ts timestamp, value double"
+    batches = [
+        # u9: single event, never followed -> abandoned (timeout case)
+        [(1, "2024-01-01 00:00:00", 1.0), (1, "2024-01-01 00:20:00", 2.0),
+         (9, "2024-01-01 00:00:00", 7.0)],
+        # u1 LATE event (00:10 < frontier 00:20): folds in, frontier
+        # must stay 00:20 (regressing to 00:10 would make 00:45 a
+        # 35-min gap and wrongly split the session)
+        [(1, "2024-01-01 00:10:00", 4.0)],
+        # in-order event 25 min after the true frontier: same session
+        [(1, "2024-01-01 00:45:00", 1.0)],
+        # closes u1's session; also advances the global watermark to
+        # 02:00, far past u9's timeout at 00:30
+        [(1, "2024-01-01 02:00:00", 5.0)],
+        # one more batch so the 02:00 watermark (computed at the END of
+        # the previous batch) is in force and u9's timeout fires
+        [(8, "2024-01-01 02:10:00", 0.0)],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).select("user_id", F.to_timestamp("ts").alias("ts"), "value")
+        d = f"{in_dir}/b{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        part = glob.glob(f"{d}/part-*.parquet")[0]
+        shutil.move(part, f"{in_dir}/{i:04d}.parquet")
+        shutil.rmtree(d)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(in_dir)
+    q = (
+        sessionize_stream(stream, gap_seconds=1800.0, watermark="0 seconds")
+        .writeStream.format("memory")
+        .queryName("late_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], str(r["session_start"])): r
+        for r in spark.sql("SELECT * FROM late_sessions").collect()
+    }
+    # u1: ONE unsplit session of 4 events incl. the late one
+    u1 = got[(1, "2024-01-01 00:00:00")]
+    assert str(u1["session_end"]) == "2024-01-01 00:45:00"
+    assert u1["n_events"] == 4 and abs(u1["value_sum"] - 8.0) < 1e-9
+    # u9: flushed by the event-time timeout, exactly once
+    u9 = got[(9, "2024-01-01 00:00:00")]
+    assert str(u9["session_end"]) == "2024-01-01 00:00:00"
+    assert u9["n_events"] == 1 and abs(u9["value_sum"] - 7.0) < 1e-9
