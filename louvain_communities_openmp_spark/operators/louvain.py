@@ -113,6 +113,15 @@ class LouvainOptions:
     # reflect the new graph, only the membership carries over).
     # Supported by dist/auto modes; exact mode ignores it.
     initial_membership: DataFrame | None = None
+    # frontier-seeded DYNAMIC marking (louvain.hxx:305-389 + DYNAMIC
+    # louvain.hxx:1009): with a warm start, mark only these vertex ids
+    # (one column ``id``) affected at pass 0 instead of flooding vaff —
+    # the batch-update contract is "endpoints of changed edges"; any
+    # move still flags its neighbors in-kernel, so the frontier grows
+    # exactly where communities actually shift. Ignored without
+    # initial_membership (a cold start must flood). Later passes
+    # re-flood on the coarse graph, like the reference.
+    affected_vertices: DataFrame | None = None
 
 
 @dataclass
@@ -745,6 +754,7 @@ def _driver_rounds(
     p: int,
     dbg,
     blocks_pass: int = 0,
+    affected: DataFrame | None = None,
 ):
     """Local-move iterations with the vertex state held on the DRIVER
     as numpy arrays — the Spark analog of the reference's shared
@@ -799,7 +809,20 @@ def _driver_rounds(
     else:
         com = ids.copy()  # init singletons (louvain.hxx:621)
         clab = ids
-    vaff = np.ones(n, dtype=bool)  # all marked (static fm)
+    if affected is not None and initial_membership is not None:
+        # frontier-seeded DYNAMIC marking (louvain.hxx:305-389 +
+        # DYNAMIC louvain.hxx:1009): only endpoints of changed edges
+        # start marked; the kernel flags neighbors of any move, so the
+        # frontier grows exactly where communities actually shift. A
+        # cold start must flood (no membership to trust elsewhere).
+        av = affected.select("id").toPandas()["id"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(ids, av)
+        ok = (pos < n) & (ids[np.minimum(pos, n - 1)] == av)
+        vaff = np.zeros(n, dtype=bool)
+        vaff[pos[ok]] = True
+    else:
+        vaff = np.ones(n, dtype=bool)  # all marked (static fm)
+    processed = 0  # vertex scans performed — DYNAMIC work metric
     iters = 0
     low_rounds = stall_rounds = 0
     prev_el = float("inf")
@@ -823,6 +846,7 @@ def _driver_rounds(
     try:
         while iters < opts.max_iterations:
             _t_it = time.time()
+            processed += int(vaff.sum())
             # fresh ctot per round: deterministic ascending-id
             # accumulation (bincount), so block-order float
             # nondeterminism cannot leak into tie-breaks
@@ -914,7 +938,7 @@ def _driver_rounds(
     mem = spark.createDataFrame(
         pd.DataFrame({"id": ids, "com": com}), MEMBERSHIP_SCHEMA
     )
-    return mem, iters, el_pass, int(len(np.unique(com))), round_times
+    return mem, iters, el_pass, int(len(np.unique(com))), round_times, processed
 
 
 def _local_move_round(
@@ -1162,6 +1186,7 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             w_arr = tbl.column("w").to_numpy().astype(np.float64, copy=False)
             ids = np.unique(np.concatenate([src_a, dst_a]))
             init_arr = None
+            init_aff_arr = None
             if p == 0 and opts.initial_membership is not None:
                 # warm start collapsing straight into the local finish:
                 # dense-remap provided labels, missing vertices become
@@ -1177,6 +1202,17 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 init_arr = np.empty(len(ids), dtype=np.int64)
                 init_arr[have] = np.searchsorted(dense, prov[have])
                 init_arr[~have] = len(dense) + np.arange(int((~have).sum()))
+                if opts.affected_vertices is not None:
+                    # frontier-seeded marking: provided ids → dense
+                    # kernel positions; ids outside this graph's vertex
+                    # set are dropped (they cannot be scanned anyway)
+                    av = (
+                        opts.affected_vertices.select("id")
+                        .toPandas()["id"].to_numpy(dtype=np.int64)
+                    )
+                    pos = np.searchsorted(ids, av)
+                    ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == av)
+                    init_aff_arr = pos[ok]
             r = louvain_seq_fast(
                 np.searchsorted(ids, src_a),
                 np.searchsorted(ids, dst_a),
@@ -1187,6 +1223,7 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 max_passes=opts.max_passes - p,
                 aggregation_tolerance=opts.aggregation_tolerance,
                 init_com=init_arr,
+                init_aff=init_aff_arr,
             )
             mem = spark.createDataFrame(
                 pd.DataFrame(
@@ -1200,6 +1237,12 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             pass_log.append({
                 "pass": p, "mode": "local_finish", "edges": n_edges,
                 "local_passes": r.passes,
+                # vertex scans actually performed across the serial
+                # passes — the work metric frontier-seeded marking
+                # (affected_vertices) is judged by
+                "processed": sum(
+                    e.get("processed", 0) for e in r.pass_log
+                ),
                 "t_local": round(time.time() - t0, 3),
             })
             p += r.passes
@@ -1248,9 +1291,12 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 _s1 = _shuffle_totals(spark)
                 shuffle_setup = (_s1[0] - _sh0[0], _s1[1] - _sh0[1])
                 _sh0 = _s1
-            mem, iters, el_pass, cn, round_times = _driver_rounds(
+            mem, iters, el_pass, cn, round_times, processed = _driver_rounds(
                 spark, edges_b, vtot.toPandas(), init_mem, opts,
                 m_total, E, gate, p, _dbg, blocks_pass=blocks_pass,
+                affected=(
+                    opts.affected_vertices if init_mem is not None else None
+                ),
             )
             mem = mem.persist()
             if _probe:
@@ -1355,6 +1401,18 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             el_pass = 0.0
             round_times = []
             frontier: DataFrame | None = None  # None ≙ all marked
+            # frontier-seeded DYNAMIC marking (louvain.hxx:305-389):
+            # with a warm start + affected set, round 0 scans only the
+            # changed-edge endpoints; moves re-flag neighbors in-kernel
+            track_work = False
+            processed: int | None = None
+            if init_mem is not None and opts.affected_vertices is not None:
+                frontier = (
+                    opts.affected_vertices.select("id")
+                    .join(vtot.select("id"), "id")  # drop out-of-graph ids
+                    .localCheckpoint(eager=True)
+                )
+                track_work = True
             if _probe:
                 # setup = edge bucketing + routing build (edge-sized,
                 # once per pass); everything after is per-iteration
@@ -1363,6 +1421,13 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 _sh0 = _s1
             while iters < opts.max_iterations:
                 _t_it = time.time()
+                if track_work:
+                    # work metric only when DYNAMIC seeding is active —
+                    # an extra vertex-sized count job per round is not
+                    # paid on the static path
+                    processed = (processed or 0) + (
+                        frontier.count() if frontier is not None else gn
+                    )
                 state, el = _local_move_round(
                     edges_b, mem, vtot, ctot, m_total, opts.resolution,
                     rnd=iters, gate=gate, frontier=frontier,
@@ -1408,6 +1473,9 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         total_iters += iters
         rec = {"pass": p, "iterations": iters, "edges": n_edges,
                "vertices": gn, "t_move": round(t_move, 3),
+               # vertex scans performed (DYNAMIC work metric; None when
+               # not tracked on the cogroup path)
+               "processed": processed,
                # per-round localMove wall times (phase split,
                # main.cxx:70-76); t_move additionally includes the
                # one-time pass setup (bucketing ≙ CSR rebuild, vtot)

@@ -185,7 +185,10 @@ _SMALL_DEG = 4096
 def _local_move_fast(indptr, indices, weights, vcom, ctot, vaff, vtot, M, R, L, E):
     """Vectorized-per-vertex _local_move: same sweep order, same
     immediate updates, same first-max/insertion-order tie-break and
-    community-0 quirk — bit-identical membership.
+    community-0 quirk — bit-identical membership. Returns
+    (iterations, processed) where ``processed`` counts vertex scans
+    actually performed (vaff-marked) — the work metric frontier-seeded
+    dynamic marking (louvain.hxx:305-389 DYNAMIC) is judged by.
 
     Two per-vertex paths, chosen by degree:
 
@@ -216,11 +219,14 @@ def _local_move_fast(indptr, indices, weights, vcom, ctot, vaff, vtot, M, R, L, 
     M22 = 2.0 * M * M  # same association as the inline (2.0 * M * M)
     l = 0
     el = 0.0
+    processed = 0  # vertices actually scanned (vaff-marked) — the
+    # work metric frontier-seeded dynamic marking is judged by
     while l < L:
         el = 0.0
         for u in range(n):
             if not vaff[u]:
                 continue
+            processed += 1
             lo, hi = ptr[u], ptr[u + 1]
             if hi - lo <= _SMALL_DEG:
                 vaff[u] = 0
@@ -305,7 +311,7 @@ def _local_move_fast(indptr, indices, weights, vcom, ctot, vaff, vtot, M, R, L, 
         l += 1
         if el <= E:
             break
-    return l if (l > 1 or el != 0.0) else 0
+    return (l if (l > 1 or el != 0.0) else 0), processed
 
 
 def _contract_fast(indptr, indices, weights, cur, CN, src_idx):
@@ -363,6 +369,7 @@ def louvain_seq_fast(
     max_passes: int = 10,
     aggregation_tolerance: float = 0.8,
     init_com=None,
+    init_aff=None,
 ) -> LouvainSeqResult:
     """Numpy implementation of louvain_seq with identical semantics
     (asserted equal on every fixture in tests/test_oracle.py).
@@ -376,6 +383,16 @@ def louvain_seq_fast(
     (louvain.hxx:305-318): vcom seeded from the previous run, ctot
     accumulated from it (louvainCommunityWeightsW semantics) instead of
     singleton initialization.
+
+    ``init_aff`` (optional, vertex-id array): frontier-seeded DYNAMIC
+    marking — only these vertices start vaff-marked in pass 0 (the
+    reference's affected-vertex seeding after a batch update,
+    louvain.hxx:305-389 + DYNAMIC louvain.hxx:1009: endpoints of
+    changed edges; any move still flags all its neighbors, so the
+    frontier grows exactly where communities actually shift). Requires
+    ``init_com``; coarse passes re-flood like the reference. Each
+    pass_log entry carries ``processed`` (vertex scans performed) so
+    callers can verify the work saving.
     """
     import numpy as np
 
@@ -430,7 +447,14 @@ def louvain_seq_fast(
     else:
         ucom = np.arange(S, dtype=np.int64)
         ctot = utot.copy()
-    vaff = np.ones(S, dtype=np.int8)
+    if init_aff is not None:
+        if init_com is None:
+            raise ValueError("init_aff requires init_com (warm start)")
+        vaff = np.zeros(S, dtype=np.int8)
+        aff = np.asarray(init_aff, dtype=np.int64)
+        vaff[aff[(aff >= 0) & (aff < S)]] = 1
+    else:
+        vaff = np.ones(S, dtype=np.int8)
     vtot = utot
     pass_log = []
 
@@ -440,14 +464,15 @@ def louvain_seq_fast(
     src_arr = src  # per-edge source vertex, carried across contractions
     first = True
     while M > 0 and max_passes > 0:
-        m = _local_move_fast(
+        m, scanned = _local_move_fast(
             indptr, indices, weights, cur, ctot, vaff, vtot, M, R,
             max_iterations, E,
         )
         l_total += max(m, 1)
         p += 1
         GN = len(indptr) - 1
-        pass_log.append({"pass": p, "iterations": m, "graph_order": GN})
+        pass_log.append({"pass": p, "iterations": m, "graph_order": GN,
+                         "processed": scanned})
         if m <= 1 or p >= max_passes:
             break
         coms = np.unique(cur)

@@ -77,7 +77,22 @@ class DynamicLouvain:
             return None
         edges = self.store.load(v).persist()
         init = self.load_membership(mv) if mv is not None else None
-        opts = replace(self.opts, initial_membership=init)
+        aff = None
+        if init is not None:
+            # frontier-seeded DYNAMIC marking: union the changed-edge
+            # endpoints of every store version since the warm snapshot
+            # (louvain.hxx:305-389 + DYNAMIC louvain.hxx:1009). Any
+            # version without a committed affected set forces a flood
+            # (pre-tracking snapshots) — correctness over savings.
+            parts = [self.store.load_affected(i) for i in range(mv + 1, v + 1)]
+            if all(x is not None for x in parts) and parts:
+                aff = parts[0]
+                for x in parts[1:]:
+                    aff = aff.unionByName(x)
+                aff = aff.distinct()
+        opts = replace(
+            self.opts, initial_membership=init, affected_vertices=aff
+        )
         t0 = time.time()
         res = louvain(edges, opts)
         d = self._vdir(v)
@@ -92,6 +107,12 @@ class DynamicLouvain:
                     "modularity": res.modularity,
                     "iterations": res.iterations,
                     "passes": res.passes,
+                    # vertex scans actually performed — the DYNAMIC
+                    # work metric frontier seeding is judged by
+                    "processed": sum(
+                        e.get("processed") or 0 for e in res.pass_log
+                    ),
+                    "frontier_seeded": aff is not None,
                     "seconds": round(time.time() - t0, 3),
                 },
                 f,

@@ -59,13 +59,34 @@ class EdgeStateStore:
         with open(os.path.join(self._vdir(version), "_COMMIT.json")) as f:
             return json.load(f)
 
-    def commit(self, edges: DataFrame, batch_id: int, stats: dict) -> int:
+    def commit(
+        self,
+        edges: DataFrame,
+        batch_id: int,
+        stats: dict,
+        affected: DataFrame | None = None,
+    ) -> int:
         v = (self.latest_version() or 0) + 1 if self.latest_version() is not None else 0
         d = self._vdir(v)
         edges.write.mode("overwrite").parquet(os.path.join(d, "edges"))
+        if affected is not None:
+            # endpoints of this batch's changed edges — the DYNAMIC
+            # frontier seed (louvain.hxx:305-389): incremental
+            # maintainers mark only these at warm start
+            affected.select("id").write.mode("overwrite").parquet(
+                os.path.join(d, "affected")
+            )
         with open(os.path.join(d, "_COMMIT.json"), "w") as f:
             json.dump({"version": v, "batch_id": batch_id, "ts": time.time(), **stats}, f)
         return v
+
+    def load_affected(self, version: int) -> DataFrame | None:
+        """Changed-edge endpoints committed with ``version`` (one
+        column ``id``), or None for pre-affected-tracking snapshots."""
+        p = os.path.join(self._vdir(version), "affected")
+        if not os.path.exists(p):
+            return None
+        return self.spark.read.parquet(p)
 
 
 def apply_delta_batch(store: EdgeStateStore, batch: DataFrame, batch_id: int) -> int:
@@ -90,11 +111,21 @@ def apply_delta_batch(store: EdgeStateStore, batch: DataFrame, batch_id: int) ->
     )
     new_edges = apply_batch(edges, dels, ins)
     n = new_edges.count()
+    # endpoints of changed edges — the DYNAMIC frontier seed for
+    # incremental maintainers (batch-sized, not graph-sized)
+    affected = (
+        dels.select(F.col("src").alias("id"))
+        .unionByName(dels.select(F.col("dst").alias("id")))
+        .unionByName(ins.select(F.col("src").alias("id")))
+        .unionByName(ins.select(F.col("dst").alias("id")))
+        .distinct()
+    )
     # n_dels in the commit record lets incremental maintainers
     # (DynamicComponents) pick the warm path for insert-only batches —
     # component labels are monotone under insertion but not deletion
     return store.commit(
-        new_edges, batch_id, {"edges": n, "n_dels": dels.count()}
+        new_edges, batch_id, {"edges": n, "n_dels": dels.count()},
+        affected=affected,
     )
 
 

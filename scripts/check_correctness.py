@@ -8,6 +8,13 @@ columns), and reports rows/schema/value matches. Use while iterating:
 
     python scripts/check_correctness.py            # all queries
     python scripts/check_correctness.py d_simhash_pairs e_lsh_topk
+    python scripts/check_correctness.py --json CORRECTNESS_LOCAL_r05.json
+
+With --json PATH the per-query results are ALSO written in the
+driver's CORRECTNESS_r{N}.json format (rows_match/schema_match/
+hash_match/spark_rows/oracle_rows/err), so every round can commit a
+hard-signal artifact covering the FULL queries() surface even when
+the driver samples a subset (round-4 verdict item #1).
 """
 
 from __future__ import annotations
@@ -81,7 +88,13 @@ def _values_equal(a, b) -> bool:
 
 
 def main():
-    names = sys.argv[1:]
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    names = args
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
     from louvain_communities_openmp_spark.session import get_spark
@@ -97,6 +110,7 @@ def main():
     oq = entry.oracle_sql()
     sel = names or list(qs)
     fails = []
+    report: dict[str, dict] = {}
     for name in sel:
         if name not in qs:
             print(f"{name}: UNKNOWN query")
@@ -106,15 +120,34 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
             fails.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"spark: {type(e).__name__}: {e}",
+            }
             continue
         if name not in oq:
+            # driver semantics: no oracle twin → weaker rows-only check
             print(f"{name}: no_oracle ({len(sdf)} rows)")
+            report[name] = {
+                "rows_match": len(sdf) >= 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(sdf),
+                "oracle_rows": None, "err": None,
+                "note": "no_oracle (rows-only check)",
+            }
             continue
         try:
             odf = con.sql(oq[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"{name}: ORACLE ERROR {type(e).__name__}: {e}")
             fails.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(sdf),
+                "oracle_rows": None,
+                "err": f"oracle: {type(e).__name__}: {e}",
+            }
             continue
         # dtype-class gate BEFORE canonicalization: the driver hashes raw
         # values, so an int column on one side vs float on the other
@@ -139,12 +172,26 @@ def main():
             f"{name}: {status} rows={len(a)}/{len(b)} schema={schema} "
             f"values={vals}"
         )
+        report[name] = {
+            "rows_match": rows,
+            "schema_match": schema and dtype_ok,
+            "hash_match": bool(vals and dtype_ok),
+            "spark_rows": len(a),
+            "oracle_rows": len(b),
+            "err": None,
+        }
         if status == "FAIL":
             fails.append(name)
             if not schema:
                 print(f"    spark cols:  {list(a.columns)}")
                 print(f"    oracle cols: {list(b.columns)}")
     spark.stop()
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"\nwrote {json_path} ({len(report)} queries)")
     if fails:
         print(f"\nFAILED: {fails}")
         sys.exit(1)

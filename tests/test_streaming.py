@@ -1,5 +1,6 @@
 """Structured-Streaming edge-delta ingestion (dynamic-graph analog)."""
 
+import json
 import os
 
 from pyspark.sql import functions as F
@@ -109,6 +110,14 @@ def test_dynamic_louvain_warm_start_over_versions(spark, tmp_path):
     # membership snapshot persisted and loadable per version
     m1 = dl.load_membership(1)
     assert m1.count() == m1.select("id").distinct().count()
+    # frontier-seeded DYNAMIC marking (louvain.hxx:305-389): the warm
+    # run was seeded from the batch's affected endpoints and scanned
+    # strictly fewer vertices than the cold run
+    meta0 = json.load(open(os.path.join(dl._vdir(0), "_COMMIT.json")))
+    meta1 = json.load(open(os.path.join(dl._vdir(1), "_COMMIT.json")))
+    assert meta0["frontier_seeded"] is False
+    assert meta1["frontier_seeded"] is True
+    assert 0 < meta1["processed"] < meta0["processed"]
 
 
 def test_doc_ingest_stream_dedup_and_parity(spark, tmp_path):
