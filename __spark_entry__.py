@@ -760,6 +760,21 @@ def _q_walks(spark, sf):
     )
 
 
+def _q_walks_capped(spark, sf):
+    """Hub-capped walks: adjacency rows bounded to the 4 smallest-id
+    out-neighbors (``max_neighbors`` — the per-row width bound a
+    power-law graph needs; see tests/test_hub_caps.py). APPROXIMATE on
+    capped vertices by design; the oracle applies the identical
+    sorted-prefix cut."""
+    from louvain_communities_openmp_spark.operators.walks import (
+        deterministic_walks,
+    )
+
+    return deterministic_walks(
+        coorder_edges(spark, sf), n_sources=16, walk_len=8, max_neighbors=4
+    )
+
+
 def _q_egonet2(spark, sf):
     """2-hop egonet of the minimum-id vertex: the induced edge set
     among vertices within distance 2 — the subgraph-extraction
@@ -1279,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_contamination": _q_contamination,
         "d_repetition": _q_repetition,
         "g_walks16": _q_walks,
+        "g_walks16_capped": _q_walks_capped,
         "g_egonet2": _q_egonet2,
         "e_knn10": _q_knn_classify,
         "ev_funnel": _q_events_funnel,
@@ -2505,31 +2521,40 @@ WITH q AS (
   FROM votes
 )
 SELECT query_id, nl AS pred_label, votes FROM best WHERE rn = 1"""
-    walk_ctes = [
-        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
-        "dedges AS (SELECT DISTINCT src, dst FROM edges)",
-        "adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs "
-        "FROM dedges GROUP BY src)",
-        "verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
-        "w0 AS (SELECT id AS walk_id, 0 AS step, id AS v FROM "
-        "(SELECT id FROM verts ORDER BY id LIMIT 16))",
-    ]
-    for k in range(8):
-        walk_ctes.append(
-            f"w{k + 1} AS (SELECT walk_id, {k + 1} AS step, "
-            f"nbrs[CAST(1 + CAST(('0x' || substr(md5("
-            f"walk_id::VARCHAR || ':{k}:' || v::VARCHAR), 1, 8)) AS BIGINT)"
-            f" % len(nbrs) AS INT)] AS v "
-            f"FROM w{k} JOIN adj ON w{k}.v = adj.src)"
+    def _walks_sql(cap: int | None = None) -> str:
+        # cap → sorted-prefix slice of the adjacency list, mirroring
+        # deterministic_walks(max_neighbors=cap) (the hub width bound)
+        nb = "list(dst ORDER BY dst)"
+        if cap is not None:
+            nb = f"({nb})[1:{cap}]"
+        ctes = [
+            _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+            "dedges AS (SELECT DISTINCT src, dst FROM edges)",
+            f"adj AS MATERIALIZED (SELECT src, {nb} AS nbrs "
+            "FROM dedges GROUP BY src)",
+            "verts AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+            "w0 AS (SELECT id AS walk_id, 0 AS step, id AS v FROM "
+            "(SELECT id FROM verts ORDER BY id LIMIT 16))",
+        ]
+        for k in range(8):
+            ctes.append(
+                f"w{k + 1} AS (SELECT walk_id, {k + 1} AS step, "
+                f"nbrs[CAST(1 + CAST(('0x' || substr(md5("
+                f"walk_id::VARCHAR || ':{k}:' || v::VARCHAR), 1, 8)) AS BIGINT)"
+                f" % len(nbrs) AS INT)] AS v "
+                f"FROM w{k} JOIN adj ON w{k}.v = adj.src)"
+            )
+        return (
+            "WITH "
+            + ",\n".join(ctes)
+            + "\n"
+            + "\nUNION ALL\n".join(
+                f"SELECT walk_id, step, v FROM w{k}" for k in range(9)
+            )
         )
-    out["g_walks16"] = (
-        "WITH "
-        + ",\n".join(walk_ctes)
-        + "\n"
-        + "\nUNION ALL\n".join(
-            f"SELECT walk_id, step, v FROM w{k}" for k in range(9)
-        )
-    )
+
+    out["g_walks16"] = _walks_sql()
+    out["g_walks16_capped"] = _walks_sql(cap=4)
     ego_ctes = _msbfs_ctes(n_sources=1, rounds=2)
     out["g_egonet2"] = (
         "WITH "

@@ -482,6 +482,88 @@ def _cogroup_kernel_factory(rnd: int, gate: int, m: float, resolution: float):
     return kernel
 
 
+def _write_raw_block_cache(edges_b: DataFrame, cache_dir: str) -> None:
+    """One job: dump the bucketed edge table's raw (src, dst, w) arrays
+    to one executor-local ``.npz`` per BLOCK value. LOCAL MODE ONLY —
+    all tasks share one filesystem (same contract as
+    _write_block_cache, which serves the broadcast path).
+
+    This is the scale path's variant: unlike _write_block_cache it
+    stores RAW endpoint ids, not positions into a global id array —
+    the whole point of the cogroup path is that no vertex-sized array
+    ever exists on the driver, so there is no global array to remap
+    against. The per-iteration searchsorted against the routed state
+    (already paid by the cogroup kernel) is unchanged.
+
+    A partition may host several block values (repartition hashes the
+    small block domain — balls-in-bins), so files are keyed by block,
+    not partition id, with a within-partition group-split."""
+
+    def writer(batches):
+        import numpy as np
+
+        chunks = list(batches)
+        if chunks:
+            b = np.concatenate(
+                [c["block"].to_numpy(dtype=np.int64) for c in chunks]
+            )
+            src = np.concatenate(
+                [c["src"].to_numpy(dtype=np.int64) for c in chunks]
+            )
+            dst = np.concatenate(
+                [c["dst"].to_numpy(dtype=np.int64) for c in chunks]
+            )
+            w = np.concatenate(
+                [c["w"].to_numpy(dtype=np.float64) for c in chunks]
+            )
+            # stable sort by block; (src, dst) order within each block
+            # is preserved from sortWithinPartitions
+            o = np.argsort(b, kind="stable")
+            b, src, dst, w = b[o], src[o], dst[o], w[o]
+            vals, starts = np.unique(b, return_index=True)
+            bounds = np.append(starts, len(b))
+            for i, bv in enumerate(vals):
+                lo, hi = bounds[i], bounds[i + 1]
+                np.savez(
+                    os.path.join(cache_dir, f"b{int(bv)}.npz"),
+                    src=src[lo:hi], dst=dst[lo:hi], w=w[lo:hi],
+                )
+        yield pd.DataFrame({"n": pd.Series([len(chunks)], dtype="int64")})
+
+    edges_b.select("block", "src", "dst", "w").mapInPandas(
+        writer, "n long"
+    ).collect()
+
+
+def _routed_state_kernel_factory(
+    cache_dir: str, rnd: int, gate: int, m: float, resolution: float
+):
+    """applyInPandas kernel over the ROUTED STATE only (grouped by
+    block): the block's static edges come from the raw npz cache
+    (page-cache memcpy) instead of crossing JVM→Arrow every iteration.
+
+    LOCAL MODE counterpart of _cogroup_kernel_factory: on one box the
+    per-iteration Arrow re-serialization of all E edge rows is pure
+    shared-memory-bus traffic that dominates the iteration (it is the
+    same cost the broadcast path eliminates with _write_block_cache);
+    on a real cluster the hop is per-executor-constant and the
+    cogroup formulation is used instead. Either way the per-iteration
+    EXCHANGE is only the routed vertex state, O(V·r)."""
+
+    def kernel(key, spdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        path = os.path.join(cache_dir, f"b{int(key[0])}.npz")
+        if len(spdf) == 0 or not os.path.exists(path):
+            return _EMPTY_OWNED.astype({"com": "Int64"})
+        z = np.load(path)
+        return _state_edges_sweep(
+            z["src"], z["dst"], z["w"], spdf, rnd, gate, m, resolution
+        )
+
+    return kernel
+
+
 def _state_edges_sweep(
     src, dst, w, spdf: pd.DataFrame, rnd, gate, m, resolution
 ) -> pd.DataFrame:
@@ -952,6 +1034,7 @@ def _local_move_round(
     gate: int = 1,
     frontier: DataFrame | None = None,
     routing: DataFrame | None = None,
+    cache_dir: str | None = None,
 ):
     """One distributed local-move iteration → (state, Σ gains) — the
     100×-scale (non-broadcast) path, for vertex counts too large to
@@ -1001,14 +1084,23 @@ def _local_move_round(
         "id", "com", "vtot", "ctot", "vaff"
     )
     routed = state_v.join(routing, "id")
-    emitted = (
-        edges.groupby("block")
-        .cogroup(routed.groupby("block"))
-        .applyInPandas(
-            _cogroup_kernel_factory(rnd, gate, m, resolution),
+    if cache_dir is not None:
+        # local mode: the block's edges come from the per-pass npz
+        # cache, so the iteration ships ONLY the routed vertex state
+        # (see _routed_state_kernel_factory)
+        emitted = routed.groupby("block").applyInPandas(
+            _routed_state_kernel_factory(cache_dir, rnd, gate, m, resolution),
             _MOVE_SCHEMA,
         )
-    )
+    else:
+        emitted = (
+            edges.groupby("block")
+            .cogroup(routed.groupby("block"))
+            .applyInPandas(
+                _cogroup_kernel_factory(rnd, gate, m, resolution),
+                _MOVE_SCHEMA,
+            )
+        )
     # merge kernel emissions: authoritative com from the owning block
     # (max over exactly one non-null), vaff = any block flagged it
     agg = emitted.groupBy("id").agg(
@@ -1344,6 +1436,16 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 .repartition("id")
                 .localCheckpoint(eager=True)
             )
+            # local mode: raw per-block npz edge cache, written once
+            # per pass — iterations then ship ONLY the routed vertex
+            # state through Arrow (see _routed_state_kernel_factory;
+            # same local-only contract as the broadcast path's cache)
+            fb_cache: str | None = None
+            if spark.sparkContext.master.startswith("local"):
+                import tempfile
+
+                fb_cache = tempfile.mkdtemp(prefix="louvain_fbblocks_")
+                _write_raw_block_cache(edges_b, fb_cache)
             if _probe:
                 # routing rows = V·r (r = mean blocks per vertex) — the
                 # row count each iteration's exchange is proportional
@@ -1419,55 +1521,63 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 _s1 = _shuffle_totals(spark)
                 shuffle_setup = (_s1[0] - _sh0[0], _s1[1] - _sh0[1])
                 _sh0 = _s1
-            while iters < opts.max_iterations:
-                _t_it = time.time()
-                if track_work:
-                    # work metric only when DYNAMIC seeding is active —
-                    # an extra vertex-sized count job per round is not
-                    # paid on the static path
-                    processed = (processed or 0) + (
-                        frontier.count() if frontier is not None else gn
+            try:
+                while iters < opts.max_iterations:
+                    _t_it = time.time()
+                    if track_work:
+                        # work metric only when DYNAMIC seeding is active —
+                        # an extra vertex-sized count job per round is not
+                        # paid on the static path
+                        processed = (processed or 0) + (
+                            frontier.count() if frontier is not None else gn
+                        )
+                    state, el = _local_move_round(
+                        edges_b, mem, vtot, ctot, m_total, opts.resolution,
+                        rnd=iters, gate=gate, frontier=frontier,
+                        routing=routing, cache_dir=fb_cache,
                     )
-                state, el = _local_move_round(
-                    edges_b, mem, vtot, ctot, m_total, opts.resolution,
-                    rnd=iters, gate=gate, frontier=frontier,
-                    routing=routing,
-                )
-                # state is checkpointed: these are zero-cost projections
-                mem = state.select("id", "com")
-                frontier = state.where("vaff").select("id")
-                ctot = vtot.join(mem, "id").groupBy("com").agg(F.sum("vtot").alias("ctot"))
-                iters += 1
-                el_pass += el
-                round_times.append(round(time.time() - _t_it, 3))
-                if _probe:
-                    _s1 = _shuffle_totals(spark)
-                    shuffle_rounds.append(
-                        {"read": _s1[0] - _sh0[0], "write": _s1[1] - _sh0[1]}
-                    )
-                    _sh0 = _s1
-                if _dbg:
-                    nf = state.where("vaff").count()
-                    print(
-                        f"[louvain] pass={p} it={iters} {time.time() - _t_it:.1f}s "
-                        f"el={el:.5f} frontier={nf}",
-                        flush=True,
-                    )
-                # gated rounds: require two consecutive below-tolerance
-                # rounds (each round only half the vertices may move);
-                # single-block sweeps use the reference's single check
-                # (louvain.hxx:541)
-                low_rounds = low_rounds + 1 if el <= E else 0
-                if low_rounds >= (1 if gate == 1 else 2) or el == 0.0:
-                    break
-                # plateau break: gated synchronous rounds bottom out at
-                # a flip-flop noise floor above tiny tolerances — once
-                # el stops decreasing (<5% improvement twice in a row),
-                # more rounds only burn time without modularity progress
-                stall_rounds = stall_rounds + 1 if el > 0.95 * prev_el else 0
-                prev_el = el
-                if iters >= 3 and stall_rounds >= 2:
-                    break
+                    # state is checkpointed: these are zero-cost projections
+                    mem = state.select("id", "com")
+                    frontier = state.where("vaff").select("id")
+                    ctot = vtot.join(mem, "id").groupBy("com").agg(F.sum("vtot").alias("ctot"))
+                    iters += 1
+                    el_pass += el
+                    round_times.append(round(time.time() - _t_it, 3))
+                    if _probe:
+                        _s1 = _shuffle_totals(spark)
+                        shuffle_rounds.append(
+                            {"read": _s1[0] - _sh0[0], "write": _s1[1] - _sh0[1]}
+                        )
+                        _sh0 = _s1
+                    if _dbg:
+                        nf = state.where("vaff").count()
+                        print(
+                            f"[louvain] pass={p} it={iters} {time.time() - _t_it:.1f}s "
+                            f"el={el:.5f} frontier={nf}",
+                            flush=True,
+                        )
+                    # gated rounds: require two consecutive below-tolerance
+                    # rounds (each round only half the vertices may move);
+                    # single-block sweeps use the reference's single check
+                    # (louvain.hxx:541)
+                    low_rounds = low_rounds + 1 if el <= E else 0
+                    if low_rounds >= (1 if gate == 1 else 2) or el == 0.0:
+                        break
+                    # plateau break: gated synchronous rounds bottom out at
+                    # a flip-flop noise floor above tiny tolerances — once
+                    # el stops decreasing (<5% improvement twice in a row),
+                    # more rounds only burn time without modularity progress
+                    stall_rounds = stall_rounds + 1 if el > 0.95 * prev_el else 0
+                    prev_el = el
+                    if iters >= 3 and stall_rounds >= 2:
+                        break
+            finally:
+                # cleanup on ALL paths — a mid-loop exception must
+                # not leak the per-pass temp block cache
+                if fb_cache is not None:
+                    import shutil
+
+                    shutil.rmtree(fb_cache, ignore_errors=True)
         edges_b.unpersist()
         t_move = time.time() - t0
         total_iters += iters

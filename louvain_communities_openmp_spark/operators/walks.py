@@ -51,24 +51,51 @@ def _choice_idx(walk_id, step: int, v, deg):
     return F.pmod(h, deg)
 
 
+def _adjacency(edges: DataFrame, max_neighbors: int | None) -> DataFrame:
+    """src → sorted out-neighbor array, optionally hub-capped to the
+    ``max_neighbors`` smallest-id neighbors. The cap applies BEFORE
+    collect_list: a slice after collection would still materialize the
+    full hub array in the aggregation buffer. The row_number window
+    shares the groupBy's src-shuffle (one exchange total) and streams
+    each partition sorted, so no row ever holds more than
+    max_neighbors elements."""
+    pruned = edges.select("src", "dst").distinct()
+    if max_neighbors is not None:
+        from pyspark.sql import Window as W
+
+        rn = F.row_number().over(W.partitionBy("src").orderBy("dst"))
+        pruned = (
+            pruned.withColumn("_rn", rn)
+            .where(F.col("_rn") <= max_neighbors)
+            .drop("_rn")
+        )
+    return pruned.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+
+
 def deterministic_walks(
     edges: DataFrame,
     n_sources: int = 16,
     walk_len: int = 8,
+    max_neighbors: int | None = None,
 ) -> DataFrame:
     """Fixed-length deterministic walks from the ``n_sources``
     smallest-id vertices. Returns (walk_id, step, v): step 0 is the
     source itself; a walk that reaches a vertex with no out-edges
-    simply has no later rows."""
+    simply has no later rows.
+
+    ``max_neighbors`` (the hub cap, same role as linkpred's
+    max_pivot_degree): bound every adjacency-array row to the K
+    SMALLEST-id out-neighbors. Without it a 10M-degree hub
+    materializes a 10M-element array in one row — the per-row width
+    bomb at web scale. With it the walk distribution is APPROXIMATE on
+    capped vertices (steps choose among the K retained neighbors
+    only); the cut is deterministic (sorted prefix), so results stay
+    reproducible and engine-portable. Uncapped semantics are exact."""
     # persisted: the returned plan references adj once per step — the
     # cache makes the caller's action build it once, not walk_len times
-    adj = (
-        edges.select("src", "dst")
-        .distinct()
-        .groupBy("src")
-        .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
-        .persist()
-    )
+    adj = _adjacency(edges, max_neighbors).persist()
     cur = (
         vertices(edges)
         .orderBy("id")

@@ -138,6 +138,43 @@ def synthetic_powerlaw_edges(
     return symmetricize(e, agg="max")
 
 
+def synthetic_grid_edges(
+    spark: SparkSession,
+    n_rows: int,
+    n_cols: int,
+    path_tail: int = 0,
+) -> DataFrame:
+    """Deterministic road-network-like fixture: an n_rows x n_cols
+    4-neighbor grid (vertex id = r*n_cols + c; right + down edges,
+    symmetricized), optionally with a ``path_tail``-vertex path hung
+    off the last grid vertex to stretch the diameter.
+
+    The asia_osm/europe_osm analog in the reference corpus
+    (main.sh:35-36): huge diameter (n_rows + n_cols + path_tail),
+    bounded degree <= 4 — the adversarial shape for label-propagation
+    algorithms, where hash-min alone needs O(diameter) rounds and
+    pointer jumping must deliver O(log diameter). Generated
+    distributed, no rand(): identical across runs and partitionings.
+    """
+    n = n_rows * n_cols
+    v = spark.range(n)
+    r, c = (F.col("id") / n_cols).cast("long"), F.pmod(F.col("id"), n_cols)
+    right = v.where(c < n_cols - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    down = v.where(r < n_rows - 1).select(
+        F.col("id").alias("src"), (F.col("id") + n_cols).alias("dst")
+    )
+    e = right.unionByName(down)
+    if path_tail > 0:
+        # path n-1 -> n -> n+1 -> ... (first hop attaches to the grid)
+        t = spark.range(n - 1, n - 1 + path_tail).select(
+            F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+        )
+        e = e.unionByName(t)
+    return symmetricize(e.withColumn("w", F.lit(1.0)), agg="max")
+
+
 # ---------------------------------------------------------------------------
 # Testdata-derived graph (driver correctness gate): co-order part graph.
 # Two parts are connected iff they appear in the same order; edge weight =

@@ -100,6 +100,24 @@ def test_components_path_graph_log_rounds(spark):
     assert res.iterations <= 14, res.iterations  # log2(128)=7, +slack
 
 
+def test_components_grid_fixture_log_rounds(spark):
+    """Road-network shape (asia_osm analog, reference main.sh:35-36):
+    a 60x60 grid with a 400-vertex path tail — diameter ~518, so plain
+    hash-min would need ~518 rounds; pointer jumping must stay
+    O(log diameter). Same fixture family as the committed 1M-vertex
+    SPARSECC.json datapoint (bench.py --sparsecc)."""
+    from louvain_communities_openmp_spark.sources.edges import (
+        synthetic_grid_edges,
+    )
+
+    e = synthetic_grid_edges(spark, 60, 60, path_tail=400)
+    res = connected_components(e)
+    assert res.components.select("comp").distinct().count() == 1
+    assert res.components.count() == 60 * 60 + 400
+    # log2(518) ~ 9.02; generous slack for the two-phase constant
+    assert res.iterations <= 14, res.iterations
+
+
 def test_kcore_peeling(spark):
     from louvain_communities_openmp_spark.operators.kcore import kcore
 
