@@ -193,6 +193,41 @@ def _q_pagerank3(spark, sf):
     return pagerank_fixed(coorder_edges(spark, sf), alpha=0.85, iters=3)
 
 
+def _q_ktruss8(spark, sf):
+    """Bounded 8-truss peeling of the co-order graph: exactly 4
+    synchronous drop rounds, survivors returned with recomputed
+    support (operators/ktruss.py ktruss_peel — fixed-round semantics,
+    deterministic on any graph; the converged ktruss() decomposition
+    is pytest-oracled on fixtures where convergence is bounded)."""
+    from louvain_communities_openmp_spark.operators.ktruss import ktruss_peel
+
+    return ktruss_peel(coorder_edges(spark, sf), k=8, rounds=4)
+
+
+def _q_hits4(spark, sf):
+    """HITS hubs/authorities, 4 L1-normalized iterations, on the
+    DIRECTED half of the co-order graph (src < dst — the symmetric
+    graph would make hub ≡ authority and verify nothing)."""
+    from louvain_communities_openmp_spark.operators.hits import hits_fixed
+
+    e = coorder_edges(spark, sf).where(F.col("src") < F.col("dst"))
+    return hits_fixed(e, iters=4)
+
+
+def _q_betweenness8(spark, sf):
+    """Sampled depth-capped betweenness (truncated Brandes): 8
+    smallest-id pivots, paths <= 8 hops, on the symmetric co-order
+    graph. The DuckDB twin unrolls the identical forward
+    (BFS+path-count) and backward (dependency) levels."""
+    from louvain_communities_openmp_spark.operators.betweenness import (
+        betweenness_sampled,
+    )
+
+    return betweenness_sampled(
+        coorder_edges(spark, sf), n_sources=8, max_depth=8
+    ).scores
+
+
 def _q_components(spark, sf):
     return connected_components(coorder_edges(spark, sf)).components
 
@@ -1240,6 +1275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangle_total": _q_triangle_total,
         "g_triangles_per_vertex": _q_triangles_per_vertex,
         "g_pagerank3": _q_pagerank3,
+        "g_hits4": _q_hits4,
+        "g_ktruss8": _q_ktruss8,
+        "g_betweenness8": _q_betweenness8,
         "g_components": _q_components,
         "g_labelprop": _q_labelprop,
         "g_louvain": _q_louvain,
@@ -1758,6 +1796,135 @@ r{t + 1} AS (
     )
 
 
+def _ktruss_sql(k: int = 8, rounds: int = 4) -> str:
+    """Unrolled FIXED-ROUND truss peeling (ktruss_peel twin): exactly
+    ``rounds`` synchronous drop rounds, then support recomputed on the
+    survivors and returned UNFILTERED. Bounded semantics on any graph
+    — no convergence assumption, so no sentinel is needed (the
+    depth-capped-betweenness pattern); the converged ktruss() is
+    pytest-oracled instead."""
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED (", 1),
+        "e0 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst)",
+    ]
+    for t in range(rounds + 1):
+        ctes.append(
+            f"sym{t} AS MATERIALIZED (SELECT src, dst FROM e{t} "
+            f"UNION ALL SELECT dst, src FROM e{t})"
+        )
+        ctes.append(
+            f"sup{t} AS MATERIALIZED (SELECT e.src, e.dst, count(*) AS s "
+            f"FROM e{t} e "
+            f"JOIN sym{t} x ON x.src = e.src "
+            f"JOIN sym{t} y ON y.src = e.dst AND y.dst = x.dst "
+            f"GROUP BY e.src, e.dst)"
+        )
+        if t < rounds:
+            ctes.append(
+                f"e{t + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{t} e "
+                f"LEFT JOIN sup{t} s ON e.src = s.src AND e.dst = s.dst "
+                f"WHERE coalesce(s.s, 0) >= {k - 2})"
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.src, e.dst, coalesce(s.s, 0) AS support
+FROM e{rounds} e
+LEFT JOIN sup{rounds} s ON e.src = s.src AND e.dst = s.dst"""
+    )
+
+
+def _hits4_sql(iters: int = 4) -> str:
+    """Unrolled HITS on the directed (src < dst) co-order half —
+    identical dynamics to operators.hits.hits_fixed."""
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED (", 1),
+        "de AS MATERIALIZED (SELECT src, dst, w FROM edges WHERE src < dst)",
+        "verts AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst FROM de)",
+        "nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "a0 AS MATERIALIZED (SELECT id, 1.0/nv.n AS authority FROM verts, nv)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"hr{t} AS MATERIALIZED (SELECT e.src AS id, sum(e.w * a.authority) AS s "
+            f"FROM de e JOIN a{t} a ON e.dst = a.id GROUP BY e.src)"
+        )
+        ctes.append(f"hz{t} AS MATERIALIZED (SELECT sum(s) AS z FROM hr{t})")
+        ctes.append(
+            f"h{t + 1} AS MATERIALIZED (SELECT v.id, coalesce(r.s, 0.0)/hz{t}.z AS hub "
+            f"FROM verts v CROSS JOIN hz{t} "
+            f"LEFT JOIN hr{t} r ON v.id = r.id)"
+        )
+        ctes.append(
+            f"ar{t} AS MATERIALIZED (SELECT e.dst AS id, sum(e.w * h.hub) AS s "
+            f"FROM de e JOIN h{t + 1} h ON e.src = h.id GROUP BY e.dst)"
+        )
+        ctes.append(f"az{t} AS MATERIALIZED (SELECT sum(s) AS z FROM ar{t})")
+        ctes.append(
+            f"a{t + 1} AS MATERIALIZED (SELECT v.id, coalesce(r.s, 0.0)/az{t}.z AS authority "
+            f"FROM verts v CROSS JOIN az{t} "
+            f"LEFT JOIN ar{t} r ON v.id = r.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT h.id, round(h.hub, 7) AS hub, round(a.authority, 7) AS authority
+FROM h{iters} h JOIN a{iters} a ON h.id = a.id"""
+    )
+
+
+def _betweenness_sql(n_sources: int = 8, depth: int = 8) -> str:
+    """Unrolled truncated-Brandes betweenness (operators/betweenness.py
+    twin): forward BFS-with-path-count levels f0..fD, backward
+    dependency levels dD..d0, pivots = n_sources smallest ids. The
+    depth cap is part of the SEMANTICS (both engines apply it), so no
+    convergence sentinel is needed — parity is exact at any graph."""
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED (", 1),
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "verts AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst FROM de)",
+        f"srcs AS MATERIALIZED (SELECT id AS s FROM verts ORDER BY id LIMIT {n_sources})",
+        "f0 AS MATERIALIZED (SELECT s, s AS v, 1.0 AS sigma FROM srcs)",
+        "vis0 AS MATERIALIZED (SELECT s, v FROM f0)",
+    ]
+    for t in range(depth):
+        ctes.append(
+            f"f{t + 1} AS MATERIALIZED (SELECT c.s, c.v, c.sigma FROM "
+            f"(SELECT f.s, e.dst AS v, sum(f.sigma) AS sigma "
+            f"FROM f{t} f JOIN de e ON e.src = f.v GROUP BY f.s, e.dst) c "
+            f"LEFT JOIN vis{t} x ON x.s = c.s AND x.v = c.v "
+            f"WHERE x.v IS NULL)"
+        )
+        ctes.append(
+            f"vis{t + 1} AS MATERIALIZED (SELECT s, v FROM vis{t} "
+            f"UNION ALL SELECT s, v FROM f{t + 1})"
+        )
+    ctes.append(f"d{depth} AS MATERIALIZED (SELECT s, v, sigma, 0.0 AS delta FROM f{depth})")
+    for t in range(depth - 1, -1, -1):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT f.s, f.v, f.sigma, "
+            f"coalesce(sum(f.sigma / w.sigma * (1.0 + w.delta)), 0.0) AS delta "
+            f"FROM f{t} f "
+            f"LEFT JOIN de e ON e.src = f.v "
+            f"LEFT JOIN d{t + 1} w ON w.s = f.s AND w.v = e.dst "
+            f"GROUP BY f.s, f.v, f.sigma)"
+        )
+    dall = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM d{t}" for t in range(depth + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+dall AS ({dall}),
+per AS (SELECT v AS id, sum(delta) AS b FROM dall WHERE v <> s GROUP BY v)
+SELECT vv.id, round(coalesce(per.b, 0.0), 6) AS betweenness
+FROM verts vv LEFT JOIN per ON per.id = vv.id"""
+    )
+
+
 def _ppr3_sql(alpha: float = 0.85, iters: int = 3) -> str:
     """Unrolled personalized PageRank (seeds: ids ≡ 0 mod 100) —
     identical dynamics to operators.pagerank.personalized_pagerank_fixed."""
@@ -2087,6 +2254,9 @@ cnt AS (
 )
 SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id = cnt.id""",
         "g_pagerank3": _pagerank3_sql(),
+        "g_hits4": _hits4_sql(),
+        "g_ktruss8": _ktruss_sql(k=8, rounds=4),
+        "g_betweenness8": _betweenness_sql(n_sources=8, depth=8),
         "g_components": _components_sql(),
         "g_labelprop": _labelprop_sql(),
         "g_bfs_hops": _bfs_sql(),

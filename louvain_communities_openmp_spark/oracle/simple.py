@@ -117,3 +117,107 @@ def triangle_count_seq(adj):
                     per[c] += 1
                     total += 1
     return per, total
+
+
+def hits_seq(adj, iters: int = 4):
+    """Fixed-iteration L1-normalized HITS (operators/hits.py twin):
+    h ← A·a, normalize; a ← Aᵀ·h, normalize. Returns (hubs, auths)."""
+    n = len(adj)
+    if n == 0:
+        return [], []
+    a = [1.0 / n] * n
+    h = [0.0] * n
+    for _ in range(iters):
+        h = [0.0] * n
+        for u, row in enumerate(adj):
+            h[u] = sum(w * a[v] for v, w in row)
+        z = sum(h) or 1.0
+        h = [x / z for x in h]
+        a = [0.0] * n
+        for u, row in enumerate(adj):
+            for v, w in row:
+                a[v] += w * h[u]
+        z = sum(a) or 1.0
+        a = [x / z for x in a]
+    return h, a
+
+
+def ktruss_seq(pairs, k: int = 4):
+    """Synchronous-peeling k-truss (operators/ktruss.py twin): each
+    round drops every edge with support < k-2 simultaneously. Returns
+    (sorted [(src, dst, support)], rounds) — rounds includes the final
+    no-drop confirmation round, matching the engine's count."""
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    rounds = 0
+    while edges:
+        nbrs = {}
+        for a, b in edges:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        sup = {e: len(nbrs[e[0]] & nbrs[e[1]]) for e in edges}
+        drop = {e for e, s in sup.items() if s < k - 2}
+        rounds += 1
+        if not drop:
+            return sorted((a, b, sup[(a, b)]) for a, b in edges), rounds
+        edges -= drop
+    return [], rounds
+
+
+def betweenness_seq(adj_pairs, sources, max_depth: int = 8):
+    """Truncated Brandes (operators/betweenness.py twin): BFS with
+    path counting from each source, dependency accumulation over
+    levels, paths capped at ``max_depth`` hops. ``adj_pairs`` is a
+    directed (u, v) edge list (parallel edges collapsed). Returns
+    {v: betweenness} over every vertex that appears."""
+    out_nbrs: dict = {}
+    verts = set()
+    for u, v in set(adj_pairs):
+        out_nbrs.setdefault(u, []).append(v)
+        verts.add(u)
+        verts.add(v)
+    bc = {v: 0.0 for v in verts}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        levels = [[s]]
+        while len(levels) - 1 < max_depth and levels[-1]:
+            nxt: dict = {}
+            for v in levels[-1]:
+                for w in out_nbrs.get(v, ()):
+                    if w not in dist:
+                        nxt[w] = nxt.get(w, 0.0) + sigma[v]
+            for w, c in nxt.items():
+                dist[w] = len(levels)
+                sigma[w] = c
+            levels.append(list(nxt))
+        delta = {v: 0.0 for v in dist}
+        for t in range(len(levels) - 2, -1, -1):
+            for v in levels[t]:
+                acc = 0.0
+                for w in out_nbrs.get(v, ()):
+                    if dist.get(w) == t + 1:
+                        acc += sigma[v] / sigma[w] * (1.0 + delta[w])
+                delta[v] = acc
+                if v != s:
+                    bc[v] += acc
+    return bc
+
+
+def ktruss_peel_seq(pairs, k: int = 4, rounds: int = 4):
+    """Fixed-round peeling (operators/ktruss.py ktruss_peel twin):
+    exactly ``rounds`` synchronous drop rounds, then support recomputed
+    on the survivors, returned unfiltered as sorted (src, dst, sup)."""
+    edges = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+
+    def support(es):
+        nbrs = {}
+        for a, b in es:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        return {e: len(nbrs[e[0]] & nbrs[e[1]]) for e in es}
+
+    for _ in range(rounds):
+        sup = support(edges)
+        edges = {e for e in edges if sup[e] >= k - 2}
+    sup = support(edges)
+    return sorted((a, b, sup[(a, b)]) for a, b in edges)

@@ -413,3 +413,110 @@ def test_labelprop_broadcast_round_is_exchange_free(spark):
             if "Exchange" in ln and "BroadcastExchange" not in ln
         ]
         assert not bad, bad
+
+
+def test_hits_allclose_directed_karate(spark):
+    """HITS vs the sequential oracle on the directed (u < v) half of
+    karate — asymmetric, so hub and authority genuinely differ."""
+    from louvain_communities_openmp_spark.operators.hits import hits_fixed
+    from louvain_communities_openmp_spark.oracle.simple import hits_seq
+
+    kar = [(u, v, w) for u, v, w in karate() if u < v]
+    want_h, want_a = hits_seq(adjacency(kar), iters=4)
+    got = {
+        r["id"]: (r["hub"], r["authority"])
+        for r in hits_fixed(edges_from_list(spark, kar), iters=4).collect()
+    }
+    assert len(got) == 34
+    for i in range(34):
+        assert math.isclose(got[i][0], want_h[i], abs_tol=1e-7), i
+        assert math.isclose(got[i][1], want_a[i], abs_tol=1e-7), i
+    # L1 normalization holds on both axes
+    assert math.isclose(sum(h for h, _ in got.values()), 1.0, abs_tol=1e-6)
+    assert math.isclose(sum(a for _, a in got.values()), 1.0, abs_tol=1e-6)
+    # asymmetry sanity: on a DAG orientation the two scores differ
+    assert any(abs(h - a) > 1e-4 for h, a in got.values())
+
+
+def test_ktruss_peeling_matches_oracle(spark):
+    """k-truss vs the sequential peeling oracle, including a 2-round
+    cascade: peeling the pendant triangle lowers no K5 support, but a
+    triangle CHAIN (each sharing one edge with the next) unravels one
+    link per round."""
+    from louvain_communities_openmp_spark.operators.ktruss import ktruss
+    from louvain_communities_openmp_spark.oracle.simple import ktruss_seq
+
+    def und(pairs):
+        return spark.createDataFrame(
+            [(s, d, 1.0) for a, b in pairs for s, d in ((a, b), (b, a))],
+            "src long, dst long, w double",
+        )
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    # triangle chain hanging off vertex 4: (4,5,6), (5,6,7), (6,7,8)
+    chain = [(4, 5), (4, 6), (5, 6), (5, 7), (6, 7), (6, 8), (7, 8)]
+    for pairs, k in ((k5, 5), (k5 + chain, 4), (chain, 3), (k5, 6)):
+        want, want_rounds = ktruss_seq(pairs, k)
+        res = ktruss(und(pairs), k=k)
+        got = sorted(
+            (r["src"], r["dst"], r["support"]) for r in res.edges.collect()
+        )
+        assert got == want, (k, got, want)
+        assert res.iterations == want_rounds, (k, res.iterations, want_rounds)
+
+
+def test_betweenness_matches_truncated_brandes_oracle(spark):
+    """Sampled+depth-capped betweenness vs the sequential truncated
+    Brandes on karate (symmetric), at two depth caps — depth 2 (the
+    truncation genuinely bites: karate's pivot eccentricities are >2)
+    and depth 8 (effectively uncapped at diameter 5)."""
+    from louvain_communities_openmp_spark.operators.betweenness import (
+        betweenness_sampled,
+    )
+    from louvain_communities_openmp_spark.oracle.simple import betweenness_seq
+
+    kar = karate()
+    pairs = [(u, v) for u, v, _ in kar]
+    for depth in (2, 8):
+        want = betweenness_seq(pairs, sources=list(range(8)), max_depth=depth)
+        res = betweenness_sampled(
+            edges_from_list(spark, kar), n_sources=8, max_depth=depth
+        )
+        got = {r["id"]: r["betweenness"] for r in res.scores.collect()}
+        assert len(got) == 34
+        assert res.depth <= depth
+        for i in range(34):
+            assert math.isclose(got[i], want[i], abs_tol=1e-6), (depth, i)
+    # depth-8 run on karate must reproduce a nonzero, non-uniform score
+    assert max(got.values()) > 0
+    assert len({round(v, 4) for v in got.values()}) > 5
+
+
+def test_ktruss_peel_fixed_rounds_matches_oracle(spark):
+    """Fixed-round peeling (the cross-engine query contract) vs the
+    sequential twin, mid-peel: on the triangle chain with k=4 the peel
+    is STILL IN PROGRESS after 1 round, so the unfiltered support
+    column must expose next round's casualties."""
+    from louvain_communities_openmp_spark.operators.ktruss import ktruss_peel
+    from louvain_communities_openmp_spark.oracle.simple import ktruss_peel_seq
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    chain = [(4, 5), (4, 6), (5, 6), (5, 7), (6, 7), (6, 8), (7, 8)]
+
+    def und(pairs):
+        return spark.createDataFrame(
+            [(s, d, 1.0) for a, b in pairs for s, d in ((a, b), (b, a))],
+            "src long, dst long, w double",
+        )
+
+    for pairs, k, rounds in (
+        (k5 + chain, 4, 1),  # mid-peel: chain half-unraveled
+        (k5 + chain, 4, 3),  # converged by round 3
+        (k5, 6, 2),          # k above max support: everything gone
+    ):
+        want = ktruss_peel_seq(pairs, k=k, rounds=rounds)
+        got = sorted(
+            (r["src"], r["dst"], r["support"])
+            for r in ktruss_peel(und(pairs), k=k, rounds=rounds).collect()
+        )
+        assert got == want, (k, rounds, got, want)
