@@ -228,6 +228,17 @@ def _q_betweenness8(spark, sf):
     ).scores
 
 
+def _q_sssp6(spark, sf):
+    """Weighted multi-source SSSP, fixed 6 relaxation rounds
+    (min-weight path using <= 6 edges) from the 4 smallest-id pivots —
+    frontier Bellman-Ford; the DuckDB twin unrolls the identical full
+    relaxation rounds (same answer by the frontier-equivalence
+    argument in operators/sssp.py)."""
+    from louvain_communities_openmp_spark.operators.sssp import sssp_fixed
+
+    return sssp_fixed(coorder_edges(spark, sf), n_sources=4, rounds=6).dists
+
+
 def _q_components(spark, sf):
     return connected_components(coorder_edges(spark, sf)).components
 
@@ -1278,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_hits4": _q_hits4,
         "g_ktruss8": _q_ktruss8,
         "g_betweenness8": _q_betweenness8,
+        "g_sssp6": _q_sssp6,
         "g_components": _q_components,
         "g_labelprop": _q_labelprop,
         "g_louvain": _q_louvain,
@@ -1925,6 +1937,37 @@ FROM verts vv LEFT JOIN per ON per.id = vv.id"""
     )
 
 
+def _sssp_sql(n_sources: int = 4, rounds: int = 6) -> str:
+    """Unrolled fixed-round Bellman-Ford (operators/sssp.py twin):
+    full relaxation per round (the frontier optimization in the engine
+    provably yields the same state per round)."""
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED (", 1),
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges "
+        "UNION SELECT dst FROM edges)",
+        f"srcs AS MATERIALIZED (SELECT id AS s FROM verts ORDER BY id "
+        f"LIMIT {n_sources})",
+        "st0 AS MATERIALIZED (SELECT s, s AS id, 0.0 AS dist FROM srcs)",
+    ]
+    for t in range(rounds):
+        ctes.append(
+            f"rx{t} AS MATERIALIZED (SELECT f.s, e.dst AS id, "
+            f"min(f.dist + e.w) AS dist "
+            f"FROM st{t} f JOIN edges e ON e.src = f.id GROUP BY f.s, e.dst)"
+        )
+        ctes.append(
+            f"st{t + 1} AS MATERIALIZED (SELECT s, id, min(dist) AS dist "
+            f"FROM (SELECT s, id, dist FROM st{t} "
+            f"UNION ALL SELECT s, id, dist FROM rx{t}) GROUP BY s, id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s, id, round(dist, 6) AS dist FROM st{rounds}"""
+    )
+
+
 def _ppr3_sql(alpha: float = 0.85, iters: int = 3) -> str:
     """Unrolled personalized PageRank (seeds: ids ≡ 0 mod 100) —
     identical dynamics to operators.pagerank.personalized_pagerank_fixed."""
@@ -2257,6 +2300,7 @@ SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id 
         "g_hits4": _hits4_sql(),
         "g_ktruss8": _ktruss_sql(k=8, rounds=4),
         "g_betweenness8": _betweenness_sql(n_sources=8, depth=8),
+        "g_sssp6": _sssp_sql(n_sources=4, rounds=6),
         "g_components": _components_sql(),
         "g_labelprop": _labelprop_sql(),
         "g_bfs_hops": _bfs_sql(),

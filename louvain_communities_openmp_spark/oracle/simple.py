@@ -221,3 +221,21 @@ def ktruss_peel_seq(pairs, k: int = 4, rounds: int = 4):
         edges = {e for e in edges if sup[e] >= k - 2}
     sup = support(edges)
     return sorted((a, b, sup[(a, b)]) for a, b in edges)
+
+
+def sssp_seq(weighted_edges, sources, rounds: int = 6):
+    """Fixed-round Bellman-Ford (operators/sssp.py twin): full
+    relaxation, ``rounds`` rounds. ``weighted_edges`` is directed
+    (u, v, w). Returns {(s, v): dist} for reached pairs."""
+    dist = {(s, s): 0.0 for s in sources}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, v, w in weighted_edges:
+            for s in sources:
+                du = dist.get((s, u))
+                if du is not None and du + w < nxt.get((s, v), float("inf")):
+                    nxt[(s, v)] = du + w
+        if nxt == dist:
+            break
+        dist = nxt
+    return dist

@@ -520,3 +520,33 @@ def test_ktruss_peel_fixed_rounds_matches_oracle(spark):
             for r in ktruss_peel(und(pairs), k=k, rounds=rounds).collect()
         )
         assert got == want, (k, rounds, got, want)
+
+
+def test_sssp_fixed_rounds_matches_bellman_ford(spark):
+    """Fixed-round weighted SSSP vs sequential Bellman-Ford on a
+    weighted digraph where the shortest path is NOT the fewest-hop
+    path (direct edge weight 10 vs a 3-hop detour of weight 3), so
+    bounded rounds genuinely change the answer: at rounds=1 the direct
+    edge wins, by rounds=3 the detour does."""
+    from louvain_communities_openmp_spark.operators.sssp import sssp_fixed
+    from louvain_communities_openmp_spark.oracle.simple import sssp_seq
+
+    wedges = [
+        (0, 4, 10.0),
+        (0, 1, 1.0), (1, 2, 1.0), (2, 4, 1.0),
+        (1, 3, 5.0), (3, 4, 1.0),
+        (4, 5, 2.0), (5, 0, 1.0),
+        (2, 6, 0.5),
+    ]
+    df = spark.createDataFrame(wedges, "src long, dst long, w double")
+    for rounds in (1, 3, 6):
+        want = sssp_seq(wedges, sources=[0, 1], rounds=rounds)
+        got = {
+            (r["s"], r["id"]): r["dist"]
+            for r in sssp_fixed(df, n_sources=2, rounds=rounds).dists.collect()
+        }
+        assert set(got) == set(want), (rounds, got, want)
+        for k in want:
+            assert math.isclose(got[k], want[k], abs_tol=1e-9), (rounds, k)
+    # the hop/weight divergence actually exercised
+    assert got[(0, 4)] == 3.0  # 3-hop detour beat the direct w=10 edge
