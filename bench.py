@@ -639,17 +639,31 @@ def main():
         # to it — so an under-bar efficiency number is adjudicable
         # (host noise vs real scaling loss) from the artifact alone
         sentinels = [round(_membw_task(20_000_000), 3)]
+        # noise-gated min (r4 verdict #4): a run is "clean" when both
+        # bracketing sentinels are under QUIET_S — prefer the min over
+        # clean runs; only if a level never saw a clean window does the
+        # global min stand (and the artifact says so via run_clean).
+        # Rationale: one hypervisor-throttled iteration inside the
+        # otherwise-best run silently set weak_throughput_efficiency
+        # to 0.781 in r4; gating by the measured host state makes the
+        # committed number reflect the engine, not the neighbor VM.
+        QUIET_S = float(os.environ.get("SPARK_GRAFT_QUIET_SENTINEL", "0.8"))
         for _ in range(repeats):
             for name, (c, g) in configs.items():
                 d = one_run(c, g)
                 s = round(_membw_task(20_000_000), 3)
                 if d:
                     d["sentinels_sec"] = [sentinels[-1], s]
+                    d["run_clean"] = max(sentinels[-1], s) < QUIET_S
                 sentinels.append(s)
-                if d and (
-                    name not in best
-                    or d["move_seconds"] < best[name]["move_seconds"]
-                ):
+                if not d:
+                    continue
+                cur = best.get(name)
+                better = cur is None or (
+                    (d["run_clean"], -d["move_seconds"])
+                    > (cur["run_clean"], -cur["move_seconds"])
+                )
+                if better:
                     best[name] = d
         lo, hi, hi_w = best["lo"], best["hi"], best["hi_w"]
         tp = lambda d: d["edges"] * d["iterations"] / d["move_seconds"]  # noqa: E731
