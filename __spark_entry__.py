@@ -239,6 +239,97 @@ def _q_sssp6(spark, sf):
     return sssp_fixed(coorder_edges(spark, sf), n_sources=4, rounds=6).dists
 
 
+def _q_scc(spark, sf):
+    """Strongly connected components of the md5-sampled DIRECTED
+    purchase-sequence graph (~3.9% of sequence edges — a Broder
+    bow-tie: giant SCC + IN/OUT periphery). Exact canonical labels
+    scc = min id per SCC (operators/scc.py FW/BW min-closure
+    refinement); the DuckDB twin computes the full recursive-CTE
+    transitive closure and takes min over mutually-reachable pairs —
+    maximally independent dynamics, same answer."""
+    from louvain_communities_openmp_spark.operators.scc import (
+        strongly_connected_components,
+    )
+    from louvain_communities_openmp_spark.sources.edges import sequence_edges
+
+    return strongly_connected_components(
+        sequence_edges(spark, sf, thr="0a")
+    ).components
+
+
+def _q_scc_dag(spark, sf):
+    """Condensation DAG of g_scc's graph: one row per ordered pair of
+    distinct SCCs with the count of underlying directed edges — the
+    bow-tie macro map (operators/scc.py condensation)."""
+    from louvain_communities_openmp_spark.operators.scc import (
+        condensation,
+        strongly_connected_components,
+    )
+    from louvain_communities_openmp_spark.sources.edges import sequence_edges
+
+    e = sequence_edges(spark, sf, thr="0a").persist()
+    res = strongly_connected_components(e)
+    return condensation(e, res.components)
+
+
+def _q_reciprocity(spark, sf):
+    """Directed-edge reciprocity of the FULL purchase-sequence graph:
+    the share of directed edges (u,v) whose reverse (v,u) is also
+    present — the classic directed-web cohesion metric. One
+    self-join on the (dst, src) key + one aggregate."""
+    from louvain_communities_openmp_spark.sources.edges import sequence_edges
+
+    e = sequence_edges(spark, sf).select("src", "dst").persist()
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("has_rev")
+    ).distinct()
+    return (
+        e.join(rev, ["src", "dst"], "left")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.sum(F.coalesce("has_rev", F.lit(0))).alias("n_reciprocal"),
+            F.round(
+                F.sum(F.coalesce("has_rev", F.lit(0))) / F.count("*"), 6
+            ).alias("reciprocity"),
+        )
+    )
+
+
+def _q_assortativity(spark, sf):
+    """Degree assortativity of the co-order graph: Pearson correlation
+    of endpoint degrees across directed edge slots, computed from
+    EXACT integer sums (n·Σxy − Σx·Σy over the sqrt product) so both
+    engines evaluate the identical closed form — no accumulation-order
+    float drift. All values < 2^53, so the sums are exact doubles."""
+    e = coorder_edges(spark, sf).select("src", "dst")
+    deg = e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+    j = (
+        e.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("x")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("y")), "dst")
+    )
+    s = j.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
 def _q_components(spark, sf):
     return connected_components(coorder_edges(spark, sf)).components
 
@@ -1291,6 +1382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_betweenness8": _q_betweenness8,
         "g_sssp6": _q_sssp6,
         "g_components": _q_components,
+        "g_scc": _q_scc,
+        "g_scc_dag": _q_scc_dag,
+        "g_reciprocity": _q_reciprocity,
+        "g_assortativity": _q_assortativity,
         "g_labelprop": _q_labelprop,
         "g_louvain": _q_louvain,
         "g_louvain_exact": _q_louvain_exact,
@@ -2128,6 +2223,94 @@ SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE EXISTS (
     )
 
 
+def _sequence_cte(thr: str = "ff") -> str:
+    from louvain_communities_openmp_spark.sources.edges import SEQUENCE_SQL_FMT
+
+    return f"dedges AS MATERIALIZED ({SEQUENCE_SQL_FMT.format(thr=thr).strip()})"
+
+
+_SCC_CLOSURE = """
+verts AS MATERIALIZED (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges),
+r AS (
+  SELECT id AS v, id AS u FROM verts
+  UNION
+  SELECT r.v, e.dst FROM r JOIN dedges e ON r.u = e.src
+),
+scc AS MATERIALIZED (
+  SELECT r1.v AS id, min(r1.u) AS scc
+  FROM r r1 JOIN r r2 ON r1.v = r2.u AND r1.u = r2.v
+  GROUP BY r1.v
+)"""
+
+
+def _scc_sql(thr: str = "0a") -> str:
+    """Transitive-closure SCC: v's label = min u with v →* u AND
+    u →* v (self included via the closure's reflexive seed). Wholly
+    independent dynamics from the engine's FW/BW refinement — the
+    strongest cross-engine check available for SCC."""
+    return (
+        f"WITH RECURSIVE {_sequence_cte(thr)},{_SCC_CLOSURE}\n"
+        "SELECT id, scc FROM scc"
+    )
+
+
+def _scc_dag_sql(thr: str = "0a") -> str:
+    return (
+        f"WITH RECURSIVE {_sequence_cte(thr)},{_SCC_CLOSURE}\n"
+        """
+SELECT s1.scc AS scc_src, s2.scc AS scc_dst, count(*) AS n_edges
+FROM (SELECT DISTINCT src, dst FROM dedges WHERE src <> dst) e
+JOIN scc s1 ON e.src = s1.id
+JOIN scc s2 ON e.dst = s2.id
+WHERE s1.scc <> s2.scc
+GROUP BY s1.scc, s2.scc"""
+    )
+
+
+def _reciprocity_sql() -> str:
+    return (
+        f"WITH {_sequence_cte('ff')}\n"
+        """
+SELECT count(*) AS n_edges,
+       CAST(sum(CASE WHEN rev.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reciprocal,
+       round(CAST(sum(CASE WHEN rev.src IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS reciprocity
+FROM dedges e LEFT JOIN (SELECT DISTINCT src, dst FROM dedges) rev
+  ON e.src = rev.dst AND e.dst = rev.src"""
+    )
+
+
+def _assortativity_sql() -> str:
+    """Same closed form as the engine: exact integer sums cast to
+    double, then one shared IEEE expression tree — bit-identical
+    across engines (sums < 2^53 are exact; each subsequent op is a
+    deterministic IEEE-754 double op on identical operands)."""
+    return (
+        "WITH "
+        + _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED (")
+        + """,
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+j AS (
+  SELECT dx.deg AS x, dy.deg AS y
+  FROM edges e JOIN deg dx ON e.src = dx.id JOIN deg dy ON e.dst = dy.id
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS assortativity
+FROM s"""
+    )
+
+
 def _labelprop_sql(rounds: int = 4) -> str:
     """Synchronous weighted label propagation, unrolled: per round each
     vertex takes argmax_label sum(w) over neighbors, tie-break min
@@ -2302,6 +2485,10 @@ SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id 
         "g_betweenness8": _betweenness_sql(n_sources=8, depth=8),
         "g_sssp6": _sssp_sql(n_sources=4, rounds=6),
         "g_components": _components_sql(),
+        "g_scc": _scc_sql(thr="0a"),
+        "g_scc_dag": _scc_dag_sql(thr="0a"),
+        "g_reciprocity": _reciprocity_sql(),
+        "g_assortativity": _assortativity_sql(),
         "g_labelprop": _labelprop_sql(),
         "g_bfs_hops": _bfs_sql(),
         "g_disconnected_mod64": _disconnected_sql(),

@@ -171,3 +171,28 @@ def power_law(n: int = 10_000, m: int = 4):
             targets.append(i)
             targets.append(t)
     return undirected(pairs)
+
+
+def random_directed(n: int = 200, m: int = 600, seed: int = 1):
+    """Deterministic directed multigraph via splitmix64 draws: m edge
+    slots, endpoints hashed from (seed, slot). Self-loops skipped.
+    Produces web-like structure at m/n ≳ 2 (one mid-size SCC plus
+    IN/OUT periphery and singleton tendrils)."""
+    pairs = []
+    for k in range(m):
+        u = _mix64(seed * 7_368_787 + 2 * k) % n
+        v = _mix64(seed * 9_479_113 + 2 * k + 1) % n
+        if u != v:
+            pairs.append((u, v))
+    return pairs
+
+
+def bowtie(c1: int = 6, c2: int = 5, tail: int = 3):
+    """Two directed cycles (sizes c1, c2) joined by a one-way bridge,
+    plus a DAG tail off the second cycle — the minimal Broder bow-tie."""
+    a = [(i, (i + 1) % c1) for i in range(c1)]
+    b = [(c1 + i, c1 + (i + 1) % c2) for i in range(c2)]
+    bridge = [(0, c1)]
+    t0 = c1 + c2
+    t = [(c1 + i % c2, t0 + i) for i in range(tail)]
+    return a + b + bridge + t

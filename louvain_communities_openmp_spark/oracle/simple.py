@@ -239,3 +239,64 @@ def sssp_seq(weighted_edges, sources, rounds: int = 6):
             break
         dist = nxt
     return dist
+
+
+def scc_seq(directed_pairs):
+    """Iterative Tarjan SCC (directed). ``directed_pairs`` is (u, v)
+    tuples; vertices = all endpoints. Returns {v: min id in SCC(v)} —
+    the canonical-label contract of operators/scc.py."""
+    adj: dict[int, list[int]] = {}
+    verts: set[int] = set()
+    for u, v in directed_pairs:
+        verts.add(u)
+        verts.add(v)
+        if u != v:
+            adj.setdefault(u, []).append(v)
+    index: dict[int, int] = {}
+    low: dict[int, int] = {}
+    on_stack: set[int] = set()
+    stack: list[int] = []
+    out: dict[int, int] = {}
+    counter = [0]
+
+    def strongconnect(root: int) -> None:
+        # explicit DFS stack: (vertex, iterator position)
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            nbrs = adj.get(v, ())
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if not recurse:
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    m = min(comp)
+                    for w in comp:
+                        out[w] = m
+                if work:
+                    parent = work[-1][0]
+                    low[parent] = min(low[parent], low[v])
+
+    for v in sorted(verts):
+        if v not in index:
+            strongconnect(v)
+    return out

@@ -243,3 +243,57 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     (spark.table preserves the output partitioning; a raw
     spark.read.parquet over the same files would not)."""
     return spark.table(table)
+
+
+# ---------------------------------------------------------------------------
+# Directed testdata graph (driver correctness gate for SCC & directed
+# metrics): the purchase-SEQUENCE part graph. src -> dst iff src appears
+# on an earlier lineitem line than dst within the same order; direction
+# is semantic (line order), so cycles arise only across orders — at the
+# md5-sampled density below this yields a Broder bow-tie (one giant SCC
+# + IN/OUT periphery + singleton tendrils), the directed-web shape.
+# The md5 edge sample is engine-portable (identical hex in Spark and
+# DuckDB), keeping the recursive-CTE oracle tractable.
+# ---------------------------------------------------------------------------
+
+SEQUENCE_SQL_FMT = """
+SELECT src, dst, w FROM (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, CAST(count(*) AS DOUBLE) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+       AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+) WHERE substr(md5(CAST(src AS VARCHAR) || '_' || CAST(dst AS VARCHAR)), 1, 2)
+        < '{thr}'
+"""
+
+
+def sequence_edges(
+    spark: SparkSession, sf_dir: str, thr: str = "ff"
+) -> DataFrame:
+    """Directed (src, dst, w) purchase-sequence graph; ``thr`` is a
+    2-hex-digit md5 prefix threshold (edge kept iff md5 prefix < thr:
+    'ff' ≈ all, '0a' ≈ 3.9%). Deterministic, partition-invariant."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_linenumber"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    g = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    key = F.md5(
+        F.concat(
+            F.col("src").cast("string"), F.lit("_"), F.col("dst").cast("string")
+        ).cast("binary")
+    )
+    return g.where(F.substring(key, 1, 2) < thr)

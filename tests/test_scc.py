@@ -1,0 +1,102 @@
+"""Strongly connected components vs the iterative-Tarjan oracle.
+
+Exact-label contract: scc(v) = min vertex id in SCC(v), identical to
+oracle.simple.scc_seq on every fixture. Also pins the refinement-depth
+claim (a DAG settles in ≤ 2 outer rounds) and condensation acyclicity.
+"""
+
+from louvain_communities_openmp_spark.oracle.graphs import (
+    bowtie,
+    random_directed,
+)
+from louvain_communities_openmp_spark.oracle.simple import scc_seq
+from louvain_communities_openmp_spark.operators.scc import (
+    condensation,
+    strongly_connected_components,
+)
+from louvain_communities_openmp_spark.sources.edges import edges_from_list
+
+
+def _w(pairs):
+    return [(u, v, 1.0) for u, v in pairs]
+
+
+def _run(spark, pairs):
+    res = strongly_connected_components(edges_from_list(spark, _w(pairs)))
+    got = {r["id"]: r["scc"] for r in res.components.collect()}
+    assert got == scc_seq(pairs)
+    return res
+
+
+def test_scc_bowtie(spark):
+    res = _run(spark, bowtie())
+    # two cycles stay distinct SCCs despite the bridge
+    labels = set(
+        r["scc"] for r in res.components.collect()
+    )
+    assert 0 in labels and 6 in labels
+
+
+def test_scc_single_cycle(spark):
+    _run(spark, [(i, (i + 1) % 7) for i in range(7)])
+
+
+def test_scc_dag_settles_fast(spark):
+    # a 2-level DAG: distinct closure signatures split every class in
+    # round 1, so everything settles by round 2 (module docstring claim)
+    pairs = [(0, 2), (1, 2), (2, 3), (2, 4), (3, 5), (4, 5)]
+    res = _run(spark, pairs)
+    assert res.outer_rounds <= 2
+
+
+def test_scc_descending_path(spark):
+    # ids descending along the edges: min-closure must flow against
+    # the id order (the adversarial direction for hash-min intuition)
+    _run(spark, [(3, 2), (2, 1), (1, 0)])
+
+
+def test_scc_self_loops_and_duplicates(spark):
+    pairs = [(0, 0), (0, 1), (0, 1), (1, 0), (2, 2), (1, 2)]
+    _run(spark, pairs)
+
+
+def test_scc_disconnected(spark):
+    pairs = [(0, 1), (1, 0), (5, 6), (6, 7), (7, 5), (9, 10)]
+    _run(spark, pairs)
+
+
+def test_scc_random_directed(spark):
+    for seed in (1, 2, 3):
+        _run(spark, random_directed(150, 450, seed=seed))
+
+
+def test_scc_random_sparse(spark):
+    # sub-critical density: mostly singletons + small cycles
+    _run(spark, random_directed(200, 220, seed=4))
+
+
+def test_condensation_is_dag_and_matches_oracle(spark):
+    pairs = bowtie()
+    e = edges_from_list(spark, _w(pairs))
+    res = strongly_connected_components(e)
+    dag = condensation(e, res.components)
+    rows = {(r["scc_src"], r["scc_dst"]): r["n_edges"] for r in dag.collect()}
+    # oracle condensation
+    lab = scc_seq(pairs)
+    want: dict[tuple[int, int], int] = {}
+    for u, v in pairs:
+        if u != v and lab[u] != lab[v]:
+            want[(lab[u], lab[v])] = want.get((lab[u], lab[v]), 0) + 1
+    # dedupe underlying edges the way the operator does (distinct)
+    want2: dict[tuple[int, int], int] = {}
+    seen = set()
+    for u, v in pairs:
+        if u == v or (u, v) in seen:
+            continue
+        seen.add((u, v))
+        if lab[u] != lab[v]:
+            k = (lab[u], lab[v])
+            want2[k] = want2.get(k, 0) + 1
+    assert rows == want2
+    # acyclic: no pair appears in both directions
+    assert not any((b, a) in rows for a, b in rows)
