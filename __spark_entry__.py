@@ -272,6 +272,18 @@ def _q_scc_dag(spark, sf):
     return condensation(e, res.components)
 
 
+def _q_bowtie(spark, sf):
+    """Broder bow-tie macro-structure of g_scc's directed graph:
+    every vertex classified CORE / IN / OUT / OTHER against the giant
+    SCC (operators/scc.py bowtie_classes — SCC kernel + two frontier
+    BFS sweeps seeded at the core). The DuckDB twin derives the same
+    classes from the transitive closure."""
+    from louvain_communities_openmp_spark.operators.scc import bowtie_classes
+    from louvain_communities_openmp_spark.sources.edges import sequence_edges
+
+    return bowtie_classes(sequence_edges(spark, sf, thr="0a"))
+
+
 def _q_reciprocity(spark, sf):
     """Directed-edge reciprocity of the FULL purchase-sequence graph:
     the share of directed edges (u,v) whose reverse (v,u) is also
@@ -1384,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_components": _q_components,
         "g_scc": _q_scc,
         "g_scc_dag": _q_scc_dag,
+        "g_bowtie": _q_bowtie,
         "g_reciprocity": _q_reciprocity,
         "g_assortativity": _q_assortativity,
         "g_labelprop": _q_labelprop,
@@ -2267,6 +2280,32 @@ GROUP BY s1.scc, s2.scc"""
     )
 
 
+def _bowtie_sql(thr: str = "0a") -> str:
+    """Closure-derived bow-tie: core = largest SCC (ties: min label);
+    IN reaches core, OUT is reached from core, OTHER neither.
+    r(v,u) means v →* u (reflexive), so reaches-core(x) ⇔ ∃ r(x,c)
+    with c ∈ core and reached-from-core(x) ⇔ ∃ r(c,x)."""
+    return (
+        f"WITH RECURSIVE {_sequence_cte(thr)},{_SCC_CLOSURE},"
+        """
+core AS MATERIALIZED (
+  SELECT scc AS c FROM (
+    SELECT scc, count(*) AS n FROM scc GROUP BY scc
+    ORDER BY n DESC, scc ASC LIMIT 1
+  )
+),
+core_vs AS MATERIALIZED (SELECT id FROM scc WHERE scc IN (SELECT c FROM core)),
+up AS (SELECT DISTINCT r.v AS id FROM r JOIN core_vs ON r.u = core_vs.id),
+dn AS (SELECT DISTINCT r.u AS id FROM r JOIN core_vs ON r.v = core_vs.id)
+SELECT s.id,
+       CASE WHEN s.scc IN (SELECT c FROM core) THEN 'CORE'
+            WHEN s.id IN (SELECT id FROM up) THEN 'IN'
+            WHEN s.id IN (SELECT id FROM dn) THEN 'OUT'
+            ELSE 'OTHER' END AS cls
+FROM scc s"""
+    )
+
+
 def _reciprocity_sql() -> str:
     return (
         f"WITH {_sequence_cte('ff')}\n"
@@ -2487,6 +2526,7 @@ SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id 
         "g_components": _components_sql(),
         "g_scc": _scc_sql(thr="0a"),
         "g_scc_dag": _scc_dag_sql(thr="0a"),
+        "g_bowtie": _bowtie_sql(thr="0a"),
         "g_reciprocity": _reciprocity_sql(),
         "g_assortativity": _assortativity_sql(),
         "g_labelprop": _labelprop_sql(),

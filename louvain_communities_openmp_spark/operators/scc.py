@@ -238,3 +238,108 @@ def condensation(edges: DataFrame, components: DataFrame) -> DataFrame:
         .groupBy("scc_src", "scc_dst")
         .agg(F.count("*").alias("n_edges"))
     )
+
+
+def _reachable_set(
+    seed: DataFrame, e: DataFrame, use_bc: bool, max_rounds: int = 200
+) -> DataFrame:
+    """Vertices with a path TO the seed set along edges (a, b) read as
+    "a steps to b" — frontier BFS with a visited set, the directed
+    sibling of operators/bfs.py. ``e`` is (a, b) pre-partitioned on
+    the join key; only the (shrinking) frontier moves per round.
+    Returns a one-column (id) frame including the seed itself."""
+    visited = seed.select("id").distinct().localCheckpoint(eager=True)
+    frontier = visited
+    rounds = 0
+    while True:
+        if rounds >= max_rounds:
+            raise RuntimeError(
+                f"reachability did not converge in {max_rounds} rounds"
+            )
+        fr = frontier.select(F.col("id").alias("b"))
+        new = (
+            e.join(F.broadcast(fr) if use_bc else fr, "b")
+            .select(F.col("a").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        if new.limit(1).count() == 0:
+            return visited
+        visited = visited.unionByName(new).localCheckpoint(eager=True)
+        frontier = new
+
+
+def bowtie_classes(
+    edges: DataFrame,
+    components: DataFrame | None = None,
+    broadcast_vertices: int = 5_000_000,
+) -> DataFrame:
+    """Broder bow-tie macro-structure of a directed graph
+    (Broder et al. 2000, "Graph structure in the web"): every vertex
+    is classified against the LARGEST SCC (ties: min canonical label):
+
+      CORE — in the giant SCC;
+      IN   — reaches CORE but is not reachable from it;
+      OUT  — reachable from CORE but does not reach it;
+      OTHER — tendrils/tubes/disconnected (neither direction).
+
+    (A non-CORE vertex with BOTH directions would be in the SCC, so
+    the four classes partition V.) Returns (id, cls string).
+
+    Plan: the SCC kernel (if labels not supplied) + two frontier BFS
+    sweeps seeded at CORE — forward over reversed edges marks
+    reached-from-core, backward over original edges marks
+    reaches-core — then one vertex-sized CASE join. Both sweeps move
+    only frontier rows; the giant-SCC seed makes them shallow on
+    web-shaped graphs (periphery depth, not diameter).
+    """
+    if components is None:
+        components = strongly_connected_components(
+            edges, broadcast_vertices=broadcast_vertices
+        ).components
+    comp = components.localCheckpoint(eager=True)
+    use_bc = comp.count() <= broadcast_vertices
+    core_lab = (
+        comp.groupBy("scc")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("scc").asc())
+        .limit(1)
+        .collect()[0]["scc"]
+    )
+    core = comp.where(F.col("scc") == F.lit(core_lab)).select("id")
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst")).distinct()
+    # reaches-core: src learns from dst → (a=src, b=dst)
+    e_up = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .repartition("b")
+        .persist()
+    )
+    # reached-from-core: dst learns from src → (a=dst, b=src)
+    e_dn = (
+        e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+        .repartition("b")
+        .persist()
+    )
+    reaches = _reachable_set(core, e_up, use_bc).select(
+        "id", F.lit(1).alias("up")
+    )
+    reached = _reachable_set(core, e_dn, use_bc).select(
+        "id", F.lit(1).alias("dn")
+    )
+    out = (
+        comp.join(F.broadcast(reaches) if use_bc else reaches, "id", "left")
+        .join(F.broadcast(reached) if use_bc else reached, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("scc") == F.lit(core_lab), F.lit("CORE"))
+            .when(F.col("up").isNotNull(), F.lit("IN"))
+            .when(F.col("dn").isNotNull(), F.lit("OUT"))
+            .otherwise(F.lit("OTHER"))
+            .alias("cls"),
+        )
+    )
+    e_up.unpersist()
+    e_dn.unpersist()
+    return out

@@ -100,3 +100,63 @@ def test_condensation_is_dag_and_matches_oracle(spark):
     assert rows == want2
     # acyclic: no pair appears in both directions
     assert not any((b, a) in rows for a, b in rows)
+
+
+def _bowtie_oracle(pairs):
+    """Python twin: Tarjan + two BFS sweeps from the largest SCC."""
+    lab = scc_seq(pairs)
+    sizes: dict[int, int] = {}
+    for v, m in lab.items():
+        sizes[m] = sizes.get(m, 0) + 1
+    core = min(m for m in sizes if sizes[m] == max(sizes.values()))
+    fwd: dict[int, set] = {}
+    bwd: dict[int, set] = {}
+    for u, v in pairs:
+        if u != v:
+            fwd.setdefault(u, set()).add(v)
+            bwd.setdefault(v, set()).add(u)
+
+    def sweep(adj, seeds):
+        seen = set(seeds)
+        stack = list(seeds)
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        return seen
+
+    core_vs = {v for v in lab if lab[v] == core}
+    reaches = sweep(bwd, core_vs)   # has a path TO core
+    reached = sweep(fwd, core_vs)   # has a path FROM core
+    out = {}
+    for v in lab:
+        if lab[v] == core:
+            out[v] = "CORE"
+        elif v in reaches:
+            out[v] = "IN"
+        elif v in reached:
+            out[v] = "OUT"
+        else:
+            out[v] = "OTHER"
+    return out
+
+
+def test_bowtie_classes(spark):
+    from louvain_communities_openmp_spark.operators.scc import bowtie_classes
+
+    for pairs in (
+        bowtie(),
+        random_directed(150, 450, seed=1),
+        random_directed(200, 220, seed=4),
+        # IN-tail -> cycle -> OUT-tail, plus a disconnected pair
+        [(10, 0), (0, 1), (1, 2), (2, 0), (2, 11), (11, 12), (20, 21)],
+    ):
+        got = {
+            r["id"]: r["cls"]
+            for r in bowtie_classes(
+                edges_from_list(spark, _w(pairs))
+            ).collect()
+        }
+        assert got == _bowtie_oracle(pairs)
