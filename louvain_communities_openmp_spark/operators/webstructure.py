@@ -1,0 +1,428 @@
+"""Web-graph structure analytics beyond the reference's operator set:
+directed co-citation / bibliographic coupling, SALSA, power-law tail
+estimation, host-level contraction, and k-hop neighborhood size
+(exact + HyperBall HLL scale path).
+
+These are the link-analysis companions a Common-Crawl-scale engine
+needs on top of the puzzlef kernels (PageRank/CC/LP/triangles): the
+reference computes community structure; a production web-graph stack
+also asks "which pages are co-cited", "is the degree tail power-law",
+"what does the host graph look like", "how big is each vertex's
+r-ball" (Boldi & Vigna, HyperBall, 2013).
+
+Scale notes:
+- cocitation_topk / bib_coupling_topk enumerate wedges through a
+  shared endpoint; the pivot-degree cap bounds the quadratic exactly
+  as linkpred.py's `max_pivot_degree` does (hubs contribute ~zero
+  similarity signal at ~cap^2 cost). Top-k is TakeOrderedAndProject.
+- salsa_fixed is per-iteration two hash aggregations keyed by vertex
+  (edge-sized shuffle, map-side combined) + one vertex-sized
+  normalization — same plan shape as hits.py.
+- hill_alpha / host_contract are single map-side-combined
+  aggregations (one shuffle each).
+- khop_reach materializes the exact r-ball pair set — O(Σ|ball_r(v)|)
+  rows, fine for small r on sparse graphs, quadratic on small-
+  diameter web graphs. hyperball_reach is the 100 TB path: per-vertex
+  2^p-register HLL sketches, r rounds of neighbor max-merge
+  (edge-sized shuffle of fixed-width arrays, numpy-reduced per
+  group), estimate error ~1.04/sqrt(2^p).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, ByteType, LongType, StructField, StructType
+
+
+def _directed_simple(edges: DataFrame) -> DataFrame:
+    """Directed simple edge set: self-loops dropped, duplicates
+    collapsed (weights summed)."""
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def cocitation_topk(
+    edges: DataFrame,
+    k: int = 100,
+    max_source_outdegree: int | None = None,
+) -> DataFrame:
+    """Top-k page pairs by co-citation count: |{s : s->a and s->b}|.
+
+    Directed analog of linkpred.common_neighbors_topk — the pivot is
+    the *citing* page, the pair are its out-neighbors. With
+    ``max_source_outdegree`` set, pivots citing more than the cap are
+    dropped BEFORE the self-join, making the count a lower-bound
+    approximation (hub-mediated co-citations excluded) — the same
+    caveat as linkpred.py's capped scores.
+
+    Returns (a, b, cocitations) with a < b, ranked by
+    (cocitations desc, a, b).
+    """
+    de = _directed_simple(edges).select("src", "dst")
+    if max_source_outdegree is not None:
+        od = de.groupBy("src").agg(F.count("*").alias("odeg"))
+        de = de.join(
+            od.where(F.col("odeg") <= max_source_outdegree).select("src"),
+            "src",
+        )
+    x = de.alias("x")
+    y = de.alias("y")
+    pairs = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .where(F.col("x.dst") < F.col("y.dst"))
+        .groupBy(
+            F.col("x.dst").alias("a"),
+            F.col("y.dst").alias("b"),
+        )
+        .agg(F.count("*").alias("cocitations"))
+    )
+    return pairs.orderBy(
+        F.desc("cocitations"), F.asc("a"), F.asc("b")
+    ).limit(k)
+
+
+def bib_coupling_topk(
+    edges: DataFrame,
+    k: int = 100,
+    max_target_indegree: int | None = None,
+) -> DataFrame:
+    """Top-k page pairs by bibliographic coupling: |{t : a->t and
+    b->t}| — pairs that CITE the same targets (vs co-citation's
+    pairs CITED by the same sources). ``max_target_indegree`` drops
+    hub targets before the self-join (lower-bound approximation).
+
+    Returns (a, b, couplings) with a < b, ranked by
+    (couplings desc, a, b).
+    """
+    de = _directed_simple(edges).select("src", "dst")
+    if max_target_indegree is not None:
+        ind = de.groupBy("dst").agg(F.count("*").alias("ideg"))
+        de = de.join(
+            ind.where(F.col("ideg") <= max_target_indegree).select("dst"),
+            "dst",
+        )
+    x = de.alias("x")
+    y = de.alias("y")
+    pairs = (
+        x.join(y, F.col("x.dst") == F.col("y.dst"))
+        .where(F.col("x.src") < F.col("y.src"))
+        .groupBy(
+            F.col("x.src").alias("a"),
+            F.col("y.src").alias("b"),
+        )
+        .agg(F.count("*").alias("couplings"))
+    )
+    return pairs.orderBy(
+        F.desc("couplings"), F.asc("a"), F.asc("b")
+    ).limit(k)
+
+
+def salsa_fixed(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """SALSA hub/authority scores (Lempel & Moran 2000), ``iters``
+    fixed iterations from a uniform authority vector, weighted:
+
+        h_t(j)   = sum_{j->i} (w/win(i))  * a_t(i)
+        a_{t+1}(i) = sum_{j->i} (w/wout(j)) * h_t(j)
+
+    with L1 normalization of both vectors each iteration (the
+    backward-forward random-walk pair: column-stochastic then
+    row-stochastic — at the fixed point authority ~ in-weight within
+    a component; a small fixed iteration count from uniform is the
+    interesting computation, exactly as hits.py treats HITS).
+
+    Returns (id, hub, authority) rounded to 7 decimals. Per
+    iteration: two edge-sized hash aggregations keyed by vertex +
+    vertex-sized normalization joins; no driver-side state.
+    """
+    de = _directed_simple(edges)
+    win = de.groupBy(F.col("dst").alias("id")).agg(
+        F.sum("w").alias("win")
+    )
+    wout = de.groupBy(F.col("src").alias("id")).agg(
+        F.sum("w").alias("wout")
+    )
+    verts = (
+        de.select(F.col("src").alias("id"))
+        .unionAll(de.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    use_bc = n <= 5_000_000  # same vector-broadcast gate as hits.py
+    # walk matrix rows, normalized both ways, materialized once and
+    # partitioned on each half-step's aggregation key (hits.py plan)
+    wm = de.join(win.withColumnRenamed("id", "dst"), "dst").join(
+        wout.withColumnRenamed("id", "src"), "src"
+    ).select(
+        "src",
+        "dst",
+        (F.col("w") / F.col("win")).alias("w_back"),
+        (F.col("w") / F.col("wout")).alias("w_fwd"),
+    )
+    wm_src = wm.repartition("src").persist()
+    wm_dst = wm.repartition("dst").persist()
+    wm_src.count(), wm_dst.count()
+
+    def _bc(df):
+        return F.broadcast(df) if use_bc else df
+
+    a = verts.select("id", F.lit(1.0 / n).alias("authority"))
+    h = None
+    for _ in range(iters):
+        hr = (
+            wm_src.join(
+                _bc(a.withColumnRenamed("id", "dst")), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.col("w_back") * F.col("authority")).alias("s"))
+        )
+        hz = hr.agg(F.sum("s")).first()[0] or 1.0
+        h = (
+            verts.join(hr, "id", "left")
+            .select(
+                "id",
+                (F.coalesce("s", F.lit(0.0)) / F.lit(float(hz))).alias(
+                    "hub"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        ar = (
+            wm_dst.join(
+                _bc(h.withColumnRenamed("id", "src")), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("w_fwd") * F.col("hub")).alias("s"))
+        )
+        az = ar.agg(F.sum("s")).first()[0] or 1.0
+        a = (
+            verts.join(ar, "id", "left")
+            .select(
+                "id",
+                (F.coalesce("s", F.lit(0.0)) / F.lit(float(az))).alias(
+                    "authority"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = h.join(a, "id").select(
+        "id",
+        F.round("hub", 7).alias("hub"),
+        F.round("authority", 7).alias("authority"),
+    )
+    wm_src.unpersist()
+    wm_dst.unpersist()
+    verts.unpersist()
+    return out
+
+
+def hill_alpha(edges: DataFrame, dmin: int = 5) -> DataFrame:
+    """Hill MLE for the power-law exponent of the degree tail:
+
+        alpha = 1 + n_tail / sum_{deg >= dmin} ln(deg / dmin)
+
+    over degrees of the simple undirected graph (the discrete MLE
+    without the -0.5 continuity correction — documented, and the
+    DuckDB twin applies the identical formula). One map-side-combined
+    aggregation for degrees + one global aggregate.
+
+    Returns a single row (dmin, n_tail, alpha) with alpha rounded to
+    6 decimals.
+    """
+    und = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+    tail = deg.where(F.col("deg") >= dmin)
+    return tail.agg(
+        F.lit(dmin).cast("int").alias("dmin"),
+        F.count("*").alias("n_tail"),
+        F.round(
+            1.0 + F.count("*") / F.sum(F.log(F.col("deg") / float(dmin))),
+            6,
+        ).alias("alpha"),
+    )
+
+
+def host_contract(edges: DataFrame, n_hosts: int = 64) -> DataFrame:
+    """Contract the page graph to the host graph using the
+    deterministic host mapping of sources/pages.py::url_of
+    (host(id) = id % n_hosts): sum edge weights and count distinct
+    page edges per (host_src, host_dst), keeping intra-host rows.
+    This is the groupBy-community contraction of louvain.py applied
+    to a fixed partition — one map-side-combined shuffle on the
+    64^2-key host pair, no skew risk (bounded key domain).
+
+    Returns (hsrc, hdst, weight, page_edges).
+    """
+    return (
+        edges.groupBy(
+            (F.col("src") % n_hosts).cast("long").alias("hsrc"),
+            (F.col("dst") % n_hosts).cast("long").alias("hdst"),
+        )
+        .agg(
+            F.sum("w").alias("weight"),
+            F.count("*").alias("page_edges"),
+        )
+    )
+
+
+def khop_reach(edges: DataFrame, r: int = 3) -> DataFrame:
+    """EXACT r-hop neighborhood size per vertex on the simple
+    undirected graph: reach_r(v) = |{u : dist(v,u) <= r}| including
+    v itself. Materializes the ball pair set via r rounds of
+    distinct frontier joins — exact but O(sum |ball_r(v)|) rows,
+    which explodes on small-diameter web graphs; hyperball_reach is
+    the sketch path for that regime (same semantics, ~2% error at
+    p=12).
+
+    Returns (id, reach).
+    """
+    c = (
+        edges.select("src", "dst")
+        .where(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    sym = c.unionAll(
+        c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    # pairs(v, u): u reachable from v within t hops
+    pairs = verts.select(
+        F.col("id").alias("v"), F.col("id").alias("u")
+    )
+    for _ in range(r):
+        step = (
+            pairs.join(
+                sym.withColumnRenamed("src", "u").withColumnRenamed(
+                    "dst", "u2"
+                ),
+                "u",
+            )
+            .select("v", F.col("u2").alias("u"))
+        )
+        pairs = pairs.unionAll(step).distinct()
+    return pairs.groupBy(F.col("v").alias("id")).agg(
+        F.count("*").alias("reach")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperBall: HLL-sketch r-ball sizes (the 100 TB path for khop_reach)
+# ---------------------------------------------------------------------------
+
+_HB_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def _hb_alpha(m: int) -> float:
+    return _HB_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hyperball_reach(
+    edges: DataFrame,
+    r: int = 3,
+    p: int = 8,
+) -> DataFrame:
+    """Approximate r-ball sizes via HyperBall (Boldi & Vigna 2013):
+    each vertex carries a 2^p-register HyperLogLog sketch of its
+    ball; one round max-merges every vertex's sketch with its
+    neighbors' (HLL union == elementwise register max), so after r
+    rounds the sketch covers ball_r(v). Standard error
+    ~1.04/sqrt(2^p) (~6.5% at p=8).
+
+    All register math is deterministic (xxhash64 of the vertex id),
+    so runs are reproducible. Per round the exchange is E rows of a
+    fixed 2^p-byte array (map-side pre-merge per (dst, partition)
+    via a salted two-level group keeps hub groups bounded); the
+    merge itself is numpy ``np.maximum.reduce`` over Arrow batches
+    in applyInPandas — no per-row Python.
+
+    Returns (id, reach_est) with the HLL small-range correction
+    applied; reach_est is a bigint (rounded estimate).
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = 1 << p
+
+    c = (
+        edges.select("src", "dst")
+        .where(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    sym = c.unionAll(
+        c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    verts = sym.select(F.col("src").alias("id")).distinct()
+
+    # initial sketch: register[bucket(h)] = rho(h >> p), rho = leading
+    # 1-position of the remaining 64-p bits (1-based), 64-p+1 if zero.
+    h = F.xxhash64(F.col("id"))
+    bucket = F.abs(h % m).cast("int")
+    wbits = F.shiftrightunsigned(h, p)
+    rho = (
+        F.when(wbits == 0, F.lit(64 - p + 1))
+        .otherwise(
+            F.lit(64 - p) - F.floor(F.log2(wbits.cast("double")))
+        )
+        .cast("tinyint")
+    )
+    cur = verts.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda i: F.when(i == bucket, rho).otherwise(
+                F.lit(0).cast("tinyint")
+            ),
+        ).alias("regs"),
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("regs", ArrayType(ByteType())),
+        ]
+    )
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        regs = np.maximum.reduce(
+            np.stack(pdf["regs"].to_numpy())
+        ).astype(np.int8)
+        return pd.DataFrame({"id": [pdf["id"].iloc[0]], "regs": [regs]})
+
+    for _ in range(r):
+        routed = sym.join(
+            cur.withColumnRenamed("id", "src"), "src"
+        ).select(F.col("dst").alias("id"), "regs")
+        cur = (
+            cur.unionAll(routed)
+            .groupBy("id")
+            .applyInPandas(_merge, schema)
+        )
+
+    alpha = _hb_alpha(m)
+    raw = F.lit(alpha * m * m) / F.aggregate(
+        "regs",
+        F.lit(0.0),
+        lambda acc, x: acc + F.pow(F.lit(2.0), -x.cast("double")),
+    )
+    zeros = F.aggregate(
+        "regs",
+        F.lit(0),
+        lambda acc, x: acc + F.when(x == 0, 1).otherwise(0),
+    )
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return cur.select(
+        "id", F.round(est).cast("long").alias("reach_est")
+    )
