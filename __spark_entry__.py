@@ -1374,6 +1374,71 @@ def _q_pii_redact(spark, sf):
     )
 
 
+def _q_cocitation(spark, sf):
+    """Top-100 co-citation pairs on the DIRECTED half of the co-order
+    graph, source-outdegree capped at 150 (the cap is mirrored in the
+    DuckDB twin, so parity is exact)."""
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        cocitation_topk,
+    )
+
+    e = coorder_edges(spark, sf).where(F.col("src") < F.col("dst"))
+    return cocitation_topk(e, k=100, max_source_outdegree=150)
+
+
+def _q_bibcoupling(spark, sf):
+    """Top-100 bibliographic-coupling pairs on the directed half,
+    target-indegree capped at 150 (mirrored in the twin)."""
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        bib_coupling_topk,
+    )
+
+    e = coorder_edges(spark, sf).where(F.col("src") < F.col("dst"))
+    return bib_coupling_topk(e, k=100, max_target_indegree=150)
+
+
+def _q_salsa4(spark, sf):
+    """Weighted SALSA hubs/authorities, 4 L1-normalized backward-
+    forward iterations, on the directed half (same setup as g_hits4)."""
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        salsa_fixed,
+    )
+
+    e = coorder_edges(spark, sf).where(F.col("src") < F.col("dst"))
+    return salsa_fixed(e, iters=4)
+
+
+def _q_powerlaw_alpha(spark, sf):
+    """Hill MLE power-law exponent of the degree tail (dmin=5)."""
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        hill_alpha,
+    )
+
+    return hill_alpha(coorder_edges(spark, sf), dmin=5)
+
+
+def _q_hostgraph(spark, sf):
+    """Host-level contraction of the page graph (host = id % 64, the
+    deterministic url_of mapping): weight + page-edge count per host
+    pair."""
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        host_contract,
+    )
+
+    return host_contract(coorder_edges(spark, sf), n_hosts=64)
+
+
+def _q_reach2(spark, sf):
+    """EXACT 2-hop neighborhood size per vertex (ball cardinality incl.
+    self). hyperball_reach is the pytest-pinned sketch path for the
+    regime where exact ball materialization explodes."""
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        khop_reach,
+    )
+
+    return khop_reach(coorder_edges(spark, sf), r=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g_edges": _q_edges,
@@ -1399,6 +1464,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_bowtie": _q_bowtie,
         "g_reciprocity": _q_reciprocity,
         "g_assortativity": _q_assortativity,
+        "g_cocitation100": _q_cocitation,
+        "g_bibcoupling100": _q_bibcoupling,
+        "g_salsa4": _q_salsa4,
+        "g_powerlaw_alpha": _q_powerlaw_alpha,
+        "g_hostgraph64": _q_hostgraph,
+        "g_reach2": _q_reach2,
         "g_labelprop": _q_labelprop,
         "g_louvain": _q_louvain,
         "g_louvain_exact": _q_louvain_exact,
@@ -1995,6 +2066,55 @@ FROM h{iters} h JOIN a{iters} a ON h.id = a.id"""
     )
 
 
+def _salsa4_sql(iters: int = 4) -> str:
+    """Unrolled weighted SALSA on the directed (src < dst) half —
+    identical dynamics to operators.webstructure.salsa_fixed."""
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED (", 1),
+        "de AS MATERIALIZED (SELECT src, dst, w FROM edges WHERE src < dst)",
+        "win AS (SELECT dst AS id, sum(w) AS win FROM de GROUP BY dst)",
+        "wout AS (SELECT src AS id, sum(w) AS wout FROM de GROUP BY src)",
+        "wm AS MATERIALIZED (SELECT e.src, e.dst, e.w/wi.win AS w_back, "
+        "e.w/wo.wout AS w_fwd FROM de e "
+        "JOIN win wi ON e.dst = wi.id JOIN wout wo ON e.src = wo.id)",
+        "verts AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst FROM de)",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "a0 AS MATERIALIZED (SELECT id, 1.0/nv.n AS authority FROM verts, nv)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"hr{t} AS MATERIALIZED (SELECT wm.src AS id, "
+            f"sum(wm.w_back * a.authority) AS s "
+            f"FROM wm JOIN a{t} a ON wm.dst = a.id GROUP BY wm.src)"
+        )
+        ctes.append(f"hz{t} AS (SELECT sum(s) AS z FROM hr{t})")
+        ctes.append(
+            f"h{t + 1} AS MATERIALIZED (SELECT v.id, "
+            f"coalesce(r.s, 0.0)/hz{t}.z AS hub "
+            f"FROM verts v CROSS JOIN hz{t} "
+            f"LEFT JOIN hr{t} r ON v.id = r.id)"
+        )
+        ctes.append(
+            f"ar{t} AS MATERIALIZED (SELECT wm.dst AS id, "
+            f"sum(wm.w_fwd * h.hub) AS s "
+            f"FROM wm JOIN h{t + 1} h ON wm.src = h.id GROUP BY wm.dst)"
+        )
+        ctes.append(f"az{t} AS (SELECT sum(s) AS z FROM ar{t})")
+        ctes.append(
+            f"a{t + 1} AS MATERIALIZED (SELECT v.id, "
+            f"coalesce(r.s, 0.0)/az{t}.z AS authority "
+            f"FROM verts v CROSS JOIN az{t} "
+            f"LEFT JOIN ar{t} r ON v.id = r.id)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT h.id, round(h.hub, 7) AS hub, round(a.authority, 7) AS authority
+FROM h{iters} h JOIN a{iters} a ON h.id = a.id"""
+    )
+
+
 def _betweenness_sql(n_sources: int = 8, depth: int = 8) -> str:
     """Unrolled truncated-Brandes betweenness (operators/betweenness.py
     twin): forward BFS-with-path-count levels f0..fD, backward
@@ -2528,6 +2648,48 @@ SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id 
         "g_scc_dag": _scc_dag_sql(thr="0a"),
         "g_bowtie": _bowtie_sql(thr="0a"),
         "g_reciprocity": _reciprocity_sql(),
+        "g_cocitation100": f"WITH {_EDGES_CTE.strip()},\n"
+        """de AS (SELECT src, dst FROM edges WHERE src < dst),
+od AS (SELECT src, count(*) AS odeg FROM de GROUP BY src),
+dec AS (SELECT d.src, d.dst FROM de d JOIN od o ON d.src = o.src
+        WHERE o.odeg <= 150)
+SELECT x.dst AS a, y.dst AS b, count(*) AS cocitations
+FROM dec x JOIN dec y ON x.src = y.src AND x.dst < y.dst
+GROUP BY x.dst, y.dst
+ORDER BY cocitations DESC, a, b LIMIT 100""",
+        "g_bibcoupling100": f"WITH {_EDGES_CTE.strip()},\n"
+        """de AS (SELECT src, dst FROM edges WHERE src < dst),
+ind AS (SELECT dst, count(*) AS ideg FROM de GROUP BY dst),
+dec AS (SELECT d.src, d.dst FROM de d JOIN ind i ON d.dst = i.dst
+        WHERE i.ideg <= 150)
+SELECT x.src AS a, y.src AS b, count(*) AS couplings
+FROM dec x JOIN dec y ON x.dst = y.dst AND x.src < y.src
+GROUP BY x.src, y.src
+ORDER BY couplings DESC, a, b LIMIT 100""",
+        "g_salsa4": _salsa4_sql(),
+        "g_powerlaw_alpha": f"WITH {_EDGES_CTE.strip()},\n"
+        """und AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+deg AS (SELECT src AS id, count(*) AS deg FROM und GROUP BY src)
+SELECT CAST(5 AS INT) AS dmin, count(*) AS n_tail,
+       round(1.0 + count(*) / sum(ln(deg / 5.0)), 6) AS alpha
+FROM deg WHERE deg >= 5""",
+        "g_hostgraph64": f"WITH {_EDGES_CTE.strip()}\n"
+        """SELECT src % 64 AS hsrc, dst % 64 AS hdst,
+       sum(w) AS weight, count(*) AS page_edges
+FROM edges GROUP BY src % 64, dst % 64""",
+        "g_reach2": f"WITH {_EDGES_CTE.strip()},\n"
+        """c AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
+sym AS (SELECT src, dst FROM c UNION ALL SELECT dst, src FROM c),
+p0 AS (SELECT DISTINCT src AS v, src AS u FROM sym),
+p1 AS (SELECT DISTINCT v, u FROM (
+  SELECT v, u FROM p0
+  UNION ALL
+  SELECT p.v, s.dst AS u FROM p0 p JOIN sym s ON p.u = s.src)),
+p2 AS (SELECT DISTINCT v, u FROM (
+  SELECT v, u FROM p1
+  UNION ALL
+  SELECT p.v, s.dst AS u FROM p1 p JOIN sym s ON p.u = s.src))
+SELECT v AS id, count(*) AS reach FROM p2 GROUP BY v""",
         "g_assortativity": _assortativity_sql(),
         "g_labelprop": _labelprop_sql(),
         "g_bfs_hops": _bfs_sql(),
