@@ -330,6 +330,7 @@ def hyperball_reach(
     edges: DataFrame,
     r: int = 3,
     p: int = 8,
+    n_salt: int = 16,
 ) -> DataFrame:
     """Approximate r-ball sizes via HyperBall (Boldi & Vigna 2013):
     each vertex carries a 2^p-register HyperLogLog sketch of its
@@ -340,10 +341,11 @@ def hyperball_reach(
 
     All register math is deterministic (xxhash64 of the vertex id),
     so runs are reproducible. Per round the exchange is E rows of a
-    fixed 2^p-byte array (map-side pre-merge per (dst, partition)
-    via a salted two-level group keeps hub groups bounded); the
-    merge itself is numpy ``np.maximum.reduce`` over Arrow batches
-    in applyInPandas — no per-row Python.
+    fixed 2^p-byte array; the merge is two-level — level 1 groups on
+    (dst, xxhash(src) % n_salt) so a hub's incoming sketches land in
+    bounded groups, level 2 collapses the <= n_salt partials per
+    vertex — and each level is numpy ``np.maximum.reduce`` over
+    Arrow batches in applyInPandas (no per-row Python).
 
     Returns (id, reach_est) with the HLL small-range correction
     applied; reach_est is a bigint (rounded estimate).
@@ -399,14 +401,23 @@ def hyperball_reach(
         return pd.DataFrame({"id": [pdf["id"].iloc[0]], "regs": [regs]})
 
     for _ in range(r):
+        # two-level merge: level 1 keys on (id, salt(src)) so a hub's
+        # incoming sketches split across n_salt groups (bounded group
+        # size); level 2 collapses the <= n_salt partials per vertex.
         routed = sym.join(
             cur.withColumnRenamed("id", "src"), "src"
-        ).select(F.col("dst").alias("id"), "regs")
-        cur = (
-            cur.unionAll(routed)
-            .groupBy("id")
+        ).select(
+            F.col("dst").alias("id"),
+            F.pmod(F.xxhash64("src"), F.lit(n_salt)).alias("salt"),
+            "regs",
+        )
+        own = cur.select("id", F.lit(-1).cast("bigint").alias("salt"), "regs")
+        partial = (
+            own.unionAll(routed)
+            .groupBy("id", "salt")
             .applyInPandas(_merge, schema)
         )
+        cur = partial.groupBy("id").applyInPandas(_merge, schema)
 
     alpha = _hb_alpha(m)
     raw = F.lit(alpha * m * m) / F.aggregate(
