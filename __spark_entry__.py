@@ -1439,6 +1439,25 @@ def _q_reach2(spark, sf):
     return khop_reach(coorder_edges(spark, sf), r=2)
 
 
+def _q_leiden_mod64(spark, sf):
+    """Leiden refinement step applied to the deterministic id%64
+    partition: split internally-disconnected communities into their
+    connected parts (refined label = part's min vertex id). The twin
+    unrolls intra-community hash-min CC with a convergence sentinel."""
+    from louvain_communities_openmp_spark.operators.structure import (
+        refine_partition,
+    )
+    from louvain_communities_openmp_spark.operators.transforms import (
+        vertices,
+    )
+
+    e = coorder_edges(spark, sf)
+    mem = vertices(e).select(
+        "id", (F.col("id") % 64).cast("long").alias("com")
+    )
+    return refine_partition(e, mem)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g_edges": _q_edges,
@@ -1470,6 +1489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_powerlaw_alpha": _q_powerlaw_alpha,
         "g_hostgraph64": _q_hostgraph,
         "g_reach2": _q_reach2,
+        "g_leiden_mod64": _q_leiden_mod64,
         "g_labelprop": _q_labelprop,
         "g_louvain": _q_louvain,
         "g_louvain_exact": _q_louvain_exact,
@@ -2063,6 +2083,40 @@ def _hits4_sql(iters: int = 4) -> str:
         + f"""
 SELECT h.id, round(h.hub, 7) AS hub, round(a.authority, 7) AS authority
 FROM h{iters} h JOIN a{iters} a ON h.id = a.id"""
+    )
+
+
+def _leiden_mod64_sql(rounds: int = 24) -> str:
+    """Leiden refinement of the id%64 partition: hash-min CC unrolled
+    over INTRA-community edges only, convergence sentinel appended
+    (same guard as _components_sql)."""
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "intra AS MATERIALIZED (SELECT src, dst FROM edges "
+        "WHERE src % 64 = dst % 64)",
+        "l0 AS MATERIALIZED (SELECT id, id AS comp FROM verts)",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""
+l{k + 1} AS MATERIALIZED (
+  SELECT p.id, least(p.comp, coalesce(c.mn, p.comp)) AS comp
+  FROM l{k} p LEFT JOIN (
+    SELECT e.dst AS id, min(q.comp) AS mn
+    FROM intra e JOIN l{k} q ON e.src = q.id GROUP BY e.dst
+  ) c ON p.id = c.id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, id % 64 AS com, comp AS refined FROM l{rounds}
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+WHERE EXISTS (
+  SELECT 1 FROM l{rounds - 1} a JOIN l{rounds} b
+  ON a.id = b.id AND a.comp <> b.comp)"""
     )
 
 
@@ -2667,6 +2721,7 @@ FROM dec x JOIN dec y ON x.dst = y.dst AND x.src < y.src
 GROUP BY x.src, y.src
 ORDER BY couplings DESC, a, b LIMIT 100""",
         "g_salsa4": _salsa4_sql(),
+        "g_leiden_mod64": _leiden_mod64_sql(),
         "g_powerlaw_alpha": f"WITH {_EDGES_CTE.strip()},\n"
         """und AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
 deg AS (SELECT src AS id, count(*) AS deg FROM und GROUP BY src)

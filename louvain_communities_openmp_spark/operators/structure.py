@@ -98,6 +98,32 @@ def disconnected_communities(edges: DataFrame, membership: DataFrame) -> DataFra
     )
 
 
+def refine_partition(edges: DataFrame, membership: DataFrame) -> DataFrame:
+    """Leiden-style refinement step (Traag, Waltman & van Eck 2019,
+    "From Louvain to Leiden: guaranteeing well-connected
+    communities"): split every internally-disconnected community into
+    its connected parts. The refined label is the minimum vertex id
+    of the part — globally unique without any renumber pass, since
+    parts are disjoint vertex sets.
+
+    Whenever a community IS disconnected, the split strictly
+    increases modularity: no intra-community edge crosses the parts
+    (they are separate components), so the edge term is unchanged
+    while the degree-square penalty shrinks — pytest pins this
+    invariant (tests/test_structure.py). For an already-connected
+    partition the refinement is the identity up to the min-id
+    canonical labels.
+
+    Cost = one intra-community edge filter (two vertex-sized
+    membership joins) + connected components on the induced subgraph
+    (components.py's hash-min + pointer-jump kernel, O(log d) rounds).
+
+    Returns (id, com, refined): the original and refined labels.
+    """
+    icc = intra_community_components(edges, membership)
+    return icc.select("id", "com", F.col("comp").alias("refined"))
+
+
 def sparsify_edges(
     edges: DataFrame, fraction: float = 0.1, salt: str = "g1"
 ) -> DataFrame:

@@ -45,3 +45,53 @@ def test_disconnected_communities(spark):
     assert disconnected_communities(e, mem2).count() == 0
     icc = intra_community_components(e, mem2)
     assert icc.count() == 16
+
+
+def test_refine_partition_splits_disconnected(spark):
+    from louvain_communities_openmp_spark.operators.properties import modularity
+    from louvain_communities_openmp_spark.operators.structure import (
+        refine_partition,
+    )
+
+    edges, n = disconnected(8, 0)  # two K8s, no bridge
+    e = edges_from_list(spark, edges).persist()
+    # one community lumping both cliques → refinement must split it
+    mem = spark.createDataFrame([(i, 0) for i in range(16)], "id long, com long")
+    ref = refine_partition(e, mem).persist()
+    rows = ref.collect()
+    assert len(rows) == 16
+    # refined labels nest inside the original community
+    assert all(r["com"] == 0 for r in rows)
+    labels = {r["refined"] for r in rows}
+    assert labels == {0, 8}  # min-id canonical per clique
+    # every refined community is internally connected now
+    from pyspark.sql import functions as F
+
+    refined_mem = ref.select("id", F.col("refined").alias("com"))
+    assert disconnected_communities(e, refined_mem).count() == 0
+    # splitting a disconnected community strictly increases modularity
+    q_before = modularity(e, mem)
+    q_after = modularity(e, refined_mem)
+    assert q_after > q_before
+
+
+def test_refine_partition_identity_on_connected(spark):
+    from louvain_communities_openmp_spark.operators.structure import (
+        refine_partition,
+    )
+
+    edges, n = disconnected(8, 0)
+    e = edges_from_list(spark, edges)
+    mem2 = spark.createDataFrame(
+        [(i, 0 if i < 8 else 1) for i in range(16)], "id long, com long"
+    )
+    ref = refine_partition(e, mem2).collect()
+    # partition unchanged: refined labels are the min-id canonical of
+    # the same two blocks
+    blocks = {}
+    for r in ref:
+        blocks.setdefault(r["refined"], set()).add(r["id"])
+    assert sorted(map(sorted, blocks.values())) == [
+        list(range(8)),
+        list(range(8, 16)),
+    ]
