@@ -1439,6 +1439,17 @@ def _q_reach2(spark, sf):
     return khop_reach(coorder_edges(spark, sf), r=2)
 
 
+def _q_nf2(spark, sf):
+    """Exact neighborhood function N(r), r=0..2: ordered reachable
+    pairs + average ball size — the quantity HyperBall estimates at
+    web scale (pinned against it in pytest)."""
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        neighborhood_function,
+    )
+
+    return neighborhood_function(coorder_edges(spark, sf), rmax=2)
+
+
 def _q_leiden_mod64(spark, sf):
     """Leiden refinement step applied to the deterministic id%64
     partition: split internally-disconnected communities into their
@@ -1490,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_hostgraph64": _q_hostgraph,
         "g_reach2": _q_reach2,
         "g_leiden_mod64": _q_leiden_mod64,
+        "g_nf2": _q_nf2,
         "g_labelprop": _q_labelprop,
         "g_louvain": _q_louvain,
         "g_louvain_exact": _q_louvain_exact,
@@ -2722,6 +2734,28 @@ GROUP BY x.src, y.src
 ORDER BY couplings DESC, a, b LIMIT 100""",
         "g_salsa4": _salsa4_sql(),
         "g_leiden_mod64": _leiden_mod64_sql(),
+        "g_nf2": f"WITH {_EDGES_CTE.strip()},\n"
+        """c AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
+sym AS (SELECT src, dst FROM c UNION ALL SELECT dst, src FROM c),
+p0 AS (SELECT DISTINCT src AS v, src AS u FROM sym),
+p1 AS (SELECT DISTINCT v, u FROM (
+  SELECT v, u FROM p0
+  UNION ALL
+  SELECT p.v, s.dst AS u FROM p0 p JOIN sym s ON p.u = s.src)),
+p2 AS (SELECT DISTINCT v, u FROM (
+  SELECT v, u FROM p1
+  UNION ALL
+  SELECT p.v, s.dst AS u FROM p1 p JOIN sym s ON p.u = s.src)),
+nv AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM p0),
+cnt AS (
+  SELECT CAST(0 AS INT) AS r, count(*) AS reachable_pairs FROM p0
+  UNION ALL
+  SELECT CAST(1 AS INT), count(*) FROM p1
+  UNION ALL
+  SELECT CAST(2 AS INT), count(*) FROM p2)
+SELECT r, reachable_pairs,
+       round(reachable_pairs / nv.nv, 6) AS avg_reach
+FROM cnt, nv""",
         "g_powerlaw_alpha": f"WITH {_EDGES_CTE.strip()},\n"
         """und AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
 deg AS (SELECT src AS id, count(*) AS deg FROM und GROUP BY src)

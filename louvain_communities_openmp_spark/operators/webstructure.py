@@ -286,6 +286,21 @@ def khop_reach(edges: DataFrame, r: int = 3) -> DataFrame:
 
     Returns (id, reach).
     """
+    ball = _ball_frames(edges, r)[-1]
+    return ball.groupBy(F.col("v").alias("id")).agg(
+        F.count("*").alias("reach")
+    )
+
+
+def _ball_frames(edges: DataFrame, r: int) -> list[DataFrame]:
+    """Exact ball pair sets [ball_0, ..., ball_r] via FRONTIER-based
+    expansion: each round joins only the pairs discovered last round
+    (not the whole ball) against the adjacency, then anti-joins the
+    known ball — the standard level-synchronous BFS trick, cutting
+    the per-round join volume from O(|ball_t|·deg) to
+    O(|frontier_t|·deg). Each level is persisted (reused by the next
+    round's anti-join and by neighborhood_function's per-level
+    counts)."""
     c = (
         edges.select("src", "dst")
         .where(F.col("src") < F.col("dst"))
@@ -295,23 +310,51 @@ def khop_reach(edges: DataFrame, r: int = 3) -> DataFrame:
         c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     verts = sym.select(F.col("src").alias("id")).distinct()
-    # pairs(v, u): u reachable from v within t hops
-    pairs = verts.select(
+    ball = verts.select(
         F.col("id").alias("v"), F.col("id").alias("u")
-    )
+    ).persist()
+    frontier = ball
+    out = [ball]
+    adj = sym.withColumnRenamed("src", "u").withColumnRenamed("dst", "u2")
     for _ in range(r):
-        step = (
-            pairs.join(
-                sym.withColumnRenamed("src", "u").withColumnRenamed(
-                    "dst", "u2"
-                ),
-                "u",
-            )
+        nxt = (
+            frontier.join(adj, "u")
             .select("v", F.col("u2").alias("u"))
+            .distinct()
+            .join(ball, ["v", "u"], "left_anti")
+            .persist()
         )
-        pairs = pairs.unionAll(step).distinct()
-    return pairs.groupBy(F.col("v").alias("id")).agg(
-        F.count("*").alias("reach")
+        ball = ball.unionAll(nxt).persist()
+        frontier = nxt
+        out.append(ball)
+    return out
+
+
+def neighborhood_function(edges: DataFrame, rmax: int = 2) -> DataFrame:
+    """EXACT neighborhood function of the simple undirected graph:
+    N(r) = |{(v,u) : dist(v,u) <= r}| (ordered pairs, self included)
+    for r = 0..rmax, plus the average ball size. This is the quantity
+    HyperBall approximates at web scale (effective-diameter /
+    distance-distribution estimation); the exact operator is the
+    small-scale truth the sketch is pinned against.
+
+    Returns (r, reachable_pairs, avg_reach) — rmax+1 rows.
+    """
+    balls = _ball_frames(edges, rmax)
+    nv = balls[0].agg(F.count("*").alias("nv"))
+    res = None
+    for r, ball in enumerate(balls):
+        row = ball.agg(
+            F.lit(r).cast("int").alias("r"),
+            F.count("*").alias("reachable_pairs"),
+        )
+        res = row if res is None else res.unionAll(row)
+    return res.crossJoin(F.broadcast(nv)).select(
+        "r",
+        "reachable_pairs",
+        F.round(F.col("reachable_pairs") / F.col("nv"), 6).alias(
+            "avg_reach"
+        ),
     )
 
 

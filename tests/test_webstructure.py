@@ -189,3 +189,24 @@ def test_hyperball_tracks_exact(spark):
     # HLL at p=8: sigma ~6.5%; deterministic hashing => fixed outcome
     assert sum(rel) / len(rel) < 0.10
     assert max(rel) < 0.35
+
+
+def test_neighborhood_function_exact(spark):
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        neighborhood_function,
+    )
+
+    triples = power_law(n=300, m=3)
+    rows = {
+        r["r"]: (r["reachable_pairs"], r["avg_reach"])
+        for r in neighborhood_function(
+            edges_from_list(spark, triples), rmax=2
+        ).collect()
+    }
+    exact1 = _reach_oracle(triples, 1)
+    exact2 = _reach_oracle(triples, 2)
+    nv = len(exact1)
+    assert rows[0][0] == nv
+    assert rows[1][0] == sum(exact1.values())
+    assert rows[2][0] == sum(exact2.values())
+    assert rows[2][1] == pytest.approx(sum(exact2.values()) / nv, abs=1e-5)
