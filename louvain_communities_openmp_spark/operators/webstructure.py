@@ -24,15 +24,15 @@ Scale notes:
   rows, fine for small r on sparse graphs, quadratic on small-
   diameter web graphs. hyperball_reach is the 100 TB path: per-vertex
   2^p-register HLL sketches, r rounds of neighbor max-merge
-  (edge-sized shuffle of fixed-width arrays, numpy-reduced per
-  group), estimate error ~1.04/sqrt(2^p).
+  (edge-sized shuffle of fixed-width arrays, salted two-level
+  collect_list + reduce/zip_with/greatest — pure Catalyst, no
+  Python workers), estimate error ~1.04/sqrt(2^p).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, ByteType, LongType, StructField, StructType
 
 
 def _directed_simple(edges: DataFrame) -> DataFrame:
@@ -387,81 +387,25 @@ def hyperball_reach(
     fixed 2^p-byte array; the merge is two-level — level 1 groups on
     (dst, xxhash(src) % n_salt) so a hub's incoming sketches land in
     bounded groups, level 2 collapses the <= n_salt partials per
-    vertex — and each level is numpy ``np.maximum.reduce`` over
-    Arrow batches in applyInPandas (no per-row Python).
+    vertex — and both levels are pure Catalyst (collect_list over the
+    bounded group + reduce/zip_with/greatest == elementwise register
+    max == HLL union): no Python workers anywhere in the loop.
 
     Returns (id, reach_est) with the HLL small-range correction
     applied; reach_est is a bigint (rounded estimate).
     """
-    import numpy as np
-    import pandas as pd
-
-    m = 1 << p
-
-    c = (
-        edges.select("src", "dst")
-        .where(F.col("src") < F.col("dst"))
-        .distinct()
-    )
-    sym = c.unionAll(
-        c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    verts = sym.select(F.col("src").alias("id")).distinct()
-
-    # initial sketch: register[bucket(h)] = rho(h >> p), rho = leading
-    # 1-position of the remaining 64-p bits (1-based), 64-p+1 if zero.
-    h = F.xxhash64(F.col("id"))
-    bucket = F.abs(h % m).cast("int")
-    wbits = F.shiftrightunsigned(h, p)
-    rho = (
-        F.when(wbits == 0, F.lit(64 - p + 1))
-        .otherwise(
-            F.lit(64 - p) - F.floor(F.log2(wbits.cast("double")))
-        )
-        .cast("tinyint")
-    )
-    cur = verts.select(
-        "id",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda i: F.when(i == bucket, rho).otherwise(
-                F.lit(0).cast("tinyint")
-            ),
-        ).alias("regs"),
+    cur = None
+    for cur in _hyperball_rounds(edges, r, p, n_salt):
+        pass
+    est = _hll_est_col(1 << p)
+    return cur.select(
+        "id", F.round(est).cast("long").alias("reach_est")
     )
 
-    schema = StructType(
-        [
-            StructField("id", LongType()),
-            StructField("regs", ArrayType(ByteType())),
-        ]
-    )
 
-    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
-        regs = np.maximum.reduce(
-            np.stack(pdf["regs"].to_numpy())
-        ).astype(np.int8)
-        return pd.DataFrame({"id": [pdf["id"].iloc[0]], "regs": [regs]})
-
-    for _ in range(r):
-        # two-level merge: level 1 keys on (id, salt(src)) so a hub's
-        # incoming sketches split across n_salt groups (bounded group
-        # size); level 2 collapses the <= n_salt partials per vertex.
-        routed = sym.join(
-            cur.withColumnRenamed("id", "src"), "src"
-        ).select(
-            F.col("dst").alias("id"),
-            F.pmod(F.xxhash64("src"), F.lit(n_salt)).alias("salt"),
-            "regs",
-        )
-        own = cur.select("id", F.lit(-1).cast("bigint").alias("salt"), "regs")
-        partial = (
-            own.unionAll(routed)
-            .groupBy("id", "salt")
-            .applyInPandas(_merge, schema)
-        )
-        cur = partial.groupBy("id").applyInPandas(_merge, schema)
-
+def _hll_est_col(m: int):
+    """HLL estimate Column over a ``regs`` register-array column,
+    with the standard small-range (linear-counting) correction."""
     alpha = _hb_alpha(m)
     raw = F.lit(alpha * m * m) / F.aggregate(
         "regs",
@@ -473,10 +417,143 @@ def hyperball_reach(
         F.lit(0),
         lambda acc, x: acc + F.when(x == 0, 1).otherwise(0),
     )
-    est = F.when(
+    return F.when(
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
-    return cur.select(
-        "id", F.round(est).cast("long").alias("reach_est")
+
+
+def _hyperball_rounds(
+    edges: DataFrame, r: int, p: int, n_salt: int
+):
+    """Generator yielding the per-round sketch frames round_0 ..
+    round_r; the round-t frame's sketch covers ball_t(v).
+
+    Each yielded frame is eagerly localCheckpoint-ed, so cross-round
+    lineage never compounds (the pass-static-repartition pattern of
+    pagerank.py/sssp.py), and the symmetrized edge table is persisted
+    for the pass and released in a ``finally`` (so an early
+    ``gen.close()`` — e.g. the effective-diameter plateau break —
+    still cleans up). The register merge is two-level: level 1 keys
+    on (id, xxhash(src) % n_salt) so a hub's incoming sketches land
+    in bounded groups, level 2 collapses the <= n_salt+1 partials per
+    vertex. Both levels run the same pure-Catalyst expression —
+    collect_list over the bounded group, then reduce/zip_with/
+    greatest (elementwise register max == HLL union) — so the loop
+    contains no Python workers at all."""
+    m = 1 << p
+
+    c = (
+        edges.select("src", "dst")
+        .where(F.col("src") < F.col("dst"))
+        .distinct()
     )
+    sym = c.unionAll(
+        c.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    try:
+        verts = sym.select(F.col("src").alias("id")).distinct()
+
+        # initial sketch: register[bucket(h)] = rho(h >> p), rho =
+        # leading 1-position of the remaining 64-p bits (1-based),
+        # 64-p+1 if zero.
+        h = F.xxhash64(F.col("id"))
+        bucket = F.abs(h % m).cast("int")
+        wbits = F.shiftrightunsigned(h, p)
+        rho = (
+            F.when(wbits == 0, F.lit(64 - p + 1))
+            .otherwise(
+                F.lit(64 - p) - F.floor(F.log2(wbits.cast("double")))
+            )
+            .cast("tinyint")
+        )
+        cur = verts.select(
+            "id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda i: F.when(i == bucket, rho).otherwise(
+                    F.lit(0).cast("tinyint")
+                ),
+            ).alias("regs"),
+        ).localCheckpoint(eager=True)
+        yield cur
+
+        zero = F.array_repeat(F.lit(0).cast("tinyint"), m)
+
+        def _merged():
+            # HLL union of a group's sketches: elementwise register
+            # max, folded JVM-side over the collected (bounded) group.
+            return F.reduce(
+                F.collect_list("regs"),
+                zero,
+                lambda acc, x: F.zip_with(
+                    acc, x, lambda a, b: F.greatest(a, b)
+                ),
+            ).alias("regs")
+
+        for _ in range(r):
+            routed = sym.join(
+                cur.withColumnRenamed("id", "src"), "src"
+            ).select(
+                F.col("dst").alias("id"),
+                F.pmod(F.xxhash64("src"), F.lit(n_salt)).alias("salt"),
+                "regs",
+            )
+            own = cur.select(
+                "id", F.lit(-1).cast("bigint").alias("salt"), "regs"
+            )
+            cur = (
+                own.unionAll(routed)
+                .groupBy("id", "salt")
+                .agg(_merged())
+                .groupBy("id")
+                .agg(_merged())
+                .localCheckpoint(eager=True)
+            )
+            yield cur
+    finally:
+        sym.unpersist()
+
+
+def effective_diameter_est(
+    edges: DataFrame,
+    rmax: int = 16,
+    p: int = 8,
+    q: float = 0.9,
+    n_salt: int = 16,
+) -> tuple[float, list[float]]:
+    """q-effective diameter via HyperBall (Boldi & Vigna 2013): run
+    sketch rounds until the estimated neighborhood-function total
+    N(t) = sum_v |ball_t(v)| plateaus (or rmax), then linearly
+    interpolate the smallest t with N(t) >= q * N(final).
+
+    Driver-side state is one scalar per round (the N(t) totals) —
+    the per-round loop is the algorithm's synchronous superstep, the
+    same structure as the Louvain pass loop. Deterministic: the
+    sketches are hash-based, so repeated runs give identical output.
+
+    Returns (effective_diameter, [N(0), ..., N(T)]).
+    """
+    est = _hll_est_col(1 << p)
+    totals: list[float] = []
+    gen = _hyperball_rounds(edges, rmax, p, n_salt)
+    try:
+        for fr in gen:
+            tot = float(fr.agg(F.sum(est)).first()[0])
+            totals.append(tot)
+            if len(totals) >= 2 and tot <= totals[-2] * 1.0001:
+                break  # sketch union is monotone: plateau == converged
+    finally:
+        gen.close()
+    target = q * totals[-1]
+    eff = 0.0
+    for t, nt in enumerate(totals):
+        if nt >= target:
+            if t == 0:
+                eff = 0.0
+            else:
+                span = totals[t] - totals[t - 1]
+                frac = (target - totals[t - 1]) / span if span > 0 else 0.0
+                eff = (t - 1) + frac
+            break
+    return eff, totals

@@ -210,3 +210,35 @@ def test_neighborhood_function_exact(spark):
     assert rows[1][0] == sum(exact1.values())
     assert rows[2][0] == sum(exact2.values())
     assert rows[2][1] == pytest.approx(sum(exact2.values()) / nv, abs=1e-5)
+
+
+def test_effective_diameter_tracks_exact(spark):
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        effective_diameter_est,
+    )
+
+    triples = power_law(n=500, m=3)
+    eff, totals = effective_diameter_est(
+        edges_from_list(spark, triples), rmax=16, p=8, q=0.9
+    )
+    # exact interpolated 0.9-effective diameter from BFS ball sizes
+    exact_totals = []
+    r = 0
+    while True:
+        tot = sum(_reach_oracle(triples, r).values())
+        if exact_totals and tot == exact_totals[-1]:
+            break
+        exact_totals.append(tot)
+        r += 1
+    target = 0.9 * exact_totals[-1]
+    for t, nt in enumerate(exact_totals):
+        if nt >= target:
+            if t == 0:
+                exact_eff = 0.0
+            else:
+                span = exact_totals[t] - exact_totals[t - 1]
+                exact_eff = (t - 1) + (target - exact_totals[t - 1]) / span
+            break
+    assert abs(eff - exact_eff) <= 1.0
+    # totals are monotone non-decreasing (sketch union property)
+    assert all(b >= a * 0.999 for a, b in zip(totals, totals[1:]))
