@@ -896,6 +896,29 @@ def _q_community_density(spark, sf):
     )
 
 
+def _q_conductance(spark, sf):
+    """Per-community conductance under the mod-64 partition — the
+    partition-quality audit beyond modularity. See
+    operators.properties.community_conductance for plan notes."""
+    from louvain_communities_openmp_spark.operators.properties import (
+        community_conductance,
+    )
+
+    e = coorder_edges(spark, sf)
+    return community_conductance(e, _mod64_membership(e))
+
+
+def _q_knn_curve(spark, sf):
+    """Degree-correlation curve knn(k) — the curve form of the
+    assortativity scalar, edge-wise (integer-exact) definition. See
+    operators.structure.avg_neighbor_degree for plan notes."""
+    from louvain_communities_openmp_spark.operators.structure import (
+        avg_neighbor_degree,
+    )
+
+    return avg_neighbor_degree(coorder_edges(spark, sf))
+
+
 def _q_walks(spark, sf):
     """Deterministic fixed-length walks (GNN neighborhood sampling)
     from the 16 smallest-id vertices: 8 steps, neighbor choice =
@@ -1569,6 +1592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_degree_gini": _q_degree_gini,
         "g_richclub": _q_richclub,
         "g_edges_monthly": _q_edges_monthly,
+        "g_conductance_mod64": _q_conductance,
+        "g_knn_curve": _q_knn_curve,
     }
 
 
@@ -3163,6 +3188,38 @@ SELECT s.com, CAST(s.size AS BIGINT) AS size,
        round(coalesce(i.internal_edges, 0)
              / (s.size * (s.size - 1) / 2.0), 6) AS density
 FROM sizes s LEFT JOIN internal i ON s.com = i.com"""
+    )
+    out["g_conductance_mod64"] = (
+        f"WITH {_EDGES_CTE.strip()},\n"
+        """v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+mem AS (SELECT id, id % 64 AS com FROM v),
+per AS (
+  SELECT ms.com,
+         sum(e.w) AS vol_w,
+         sum(CASE WHEN ms.com <> md.com THEN e.w ELSE 0 END) AS cut_w
+  FROM edges e JOIN mem ms ON e.src = ms.id JOIN mem md ON e.dst = md.id
+  GROUP BY ms.com
+), tot AS (SELECT sum(vol_w) AS two_m FROM per)
+SELECT com, vol_w, cut_w,
+       round(CASE WHEN least(vol_w, two_m - vol_w) > 0
+             THEN cut_w / least(vol_w, two_m - vol_w)
+             ELSE 0 END, 6) AS conductance
+FROM per, tot"""
+    )
+    out["g_knn_curve"] = (
+        f"WITH {_EDGES_CTE.strip()},\n"
+        """deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nb AS (
+  SELECT e.src, sum(d2.deg) AS snd
+  FROM edges e JOIN deg d2 ON e.dst = d2.src
+  GROUP BY e.src
+)
+SELECT CAST(d.deg AS BIGINT) AS deg,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(nb.snd) AS BIGINT) AS sum_nb_deg,
+       round(sum(nb.snd) / (d.deg * count(*)), 6) AS knn
+FROM nb JOIN deg d ON nb.src = d.src
+GROUP BY d.deg"""
     )
     out["ev_funnel"] = """
 WITH s1 AS (

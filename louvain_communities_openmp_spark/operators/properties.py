@@ -100,6 +100,52 @@ def modularity(
     return float(q or 0.0)
 
 
+def community_conductance(
+    edges: DataFrame, membership: DataFrame
+) -> DataFrame:
+    """Per-community conductance φ(C) = cut(C) / min(vol(C), 2m−vol(C))
+    (Kannan-Vempala-Vetta) — the partition-quality audit beyond
+    modularity for a Louvain/Leiden result.
+
+    Expects the mirrored directed edge table: vol(C) = Σ_{v∈C}
+    weighted degree = Σ w over rows with src ∈ C; cut(C) = Σ w over
+    rows with src ∈ C, dst ∉ C (each crossing undirected edge counted
+    once per side). Plan: one membership double-join + ONE
+    map-side-combined per-community aggregate + a broadcast of the
+    1-row total — the same scan shape as modularity()'s per-community
+    pass (reference analog properties.hxx:226-246). Communities with
+    a zero denominator (empty or whole-graph volume) report φ = 0.
+
+    Returns (com, vol_w, cut_w, conductance) with conductance rounded
+    to 6 decimals (w is integer-valued, so the sums are exact and the
+    rounding is engine-stable).
+    """
+    ms = membership.select(F.col("id").alias("src"), F.col("com").alias("cs"))
+    md = membership.select(F.col("id").alias("dst"), F.col("com").alias("cd"))
+    per = (
+        edges.join(ms, "src")
+        .join(md, "dst")
+        .groupBy(F.col("cs").alias("com"))
+        .agg(
+            F.sum("w").alias("vol_w"),
+            F.sum(
+                F.when(F.col("cs") != F.col("cd"), F.col("w")).otherwise(0.0)
+            ).alias("cut_w"),
+        )
+    )
+    tot = per.agg(F.sum("vol_w").alias("two_m"))
+    denom = F.least(F.col("vol_w"), F.col("two_m") - F.col("vol_w"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "com",
+        "vol_w",
+        "cut_w",
+        F.round(
+            F.when(denom > 0, F.col("cut_w") / denom).otherwise(F.lit(0.0)),
+            6,
+        ).alias("conductance"),
+    )
+
+
 def delta_modularity_col(kuc, kud, vtot_u, ctot_c, ctot_d, m: float, resolution: float = 1.0):
     """ΔQ column expression. → properties.hxx:253-256 (deltaModularity)."""
     return (kuc - kud) / F.lit(m) - F.lit(resolution) * vtot_u * (

@@ -144,3 +144,53 @@ def sparsify_edges(
         F.md5(F.concat_ws("|", F.lit(salt), lo, hi)), 1, 8
     )
     return edges.where(bucket < F.lit(_threshold_hex(fraction)))
+
+
+def avg_neighbor_degree(edges: DataFrame) -> DataFrame:
+    """Degree-correlation curve knn(k) (Pastor-Satorras, Vázquez &
+    Vespignani 2001) — the curve behind the assortativity scalar: for
+    each degree k, the mean neighbor degree over all edge endpoints of
+    degree-k vertices,
+
+        knn(k) = ( Σ_{v: deg v = k} Σ_{u ∈ N(v)} deg u ) / (k · n_k).
+
+    The edge-wise form keeps every sum integer-valued (exact in both
+    engines) with ONE final division, so the 6-decimal rounding is
+    engine-stable — no mean-of-means float-order sensitivity.
+
+    Expects the mirrored directed table. Plan: one degree aggregate,
+    re-joined onto the edge list (vertex-sized build side → broadcast
+    under AQE at small scale, shuffle-hash above), then two map-side-
+    combined aggregates (per-vertex, then per-degree). Output is one
+    row per distinct degree — bounded, never vertex-sized.
+
+    Returns (deg, n_vertices, sum_nb_deg, knn).
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nb = (
+        edges.join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("deg").alias("ndeg")
+            ),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.sum("ndeg").alias("snd"))
+        .join(deg, "src")
+    )
+    return (
+        nb.groupBy("deg")
+        .agg(
+            F.count("*").cast("long").alias("n_vertices"),
+            F.sum("snd").cast("long").alias("sum_nb_deg"),
+        )
+        .select(
+            F.col("deg").cast("long").alias("deg"),
+            "n_vertices",
+            "sum_nb_deg",
+            F.round(
+                F.col("sum_nb_deg") / (F.col("deg") * F.col("n_vertices")),
+                6,
+            ).alias("knn"),
+        )
+    )

@@ -95,3 +95,41 @@ def test_refine_partition_identity_on_connected(spark):
         list(range(8)),
         list(range(8, 16)),
     ]
+
+
+def test_community_conductance_two_cliques(spark):
+    from louvain_communities_openmp_spark.operators.properties import (
+        community_conductance,
+    )
+
+    # two K4s + one bridge (0,4): vol = 13 per side, cut = 1 each
+    e = edges_from_list(spark, two_cliques(4))
+    mem = spark.createDataFrame(
+        [(i, i // 4) for i in range(8)], "id long, com long"
+    )
+    rows = {
+        r["com"]: r for r in community_conductance(e, mem).collect()
+    }
+    assert set(rows) == {0, 1}
+    for c in (0, 1):
+        assert rows[c]["vol_w"] == 13.0
+        assert rows[c]["cut_w"] == 1.0
+        assert rows[c]["conductance"] == round(1 / 13, 6)
+
+
+def test_avg_neighbor_degree_toy5(spark):
+    from louvain_communities_openmp_spark.operators.structure import (
+        avg_neighbor_degree,
+    )
+
+    rows = {
+        r["deg"]: r
+        for r in avg_neighbor_degree(edges_from_list(spark, toy5())).collect()
+    }
+    # degrees: 0,1,3,4 have deg 2 (each with neighbor-deg sum 6); 2 has deg 4
+    assert rows[2]["n_vertices"] == 4
+    assert rows[2]["sum_nb_deg"] == 24
+    assert rows[2]["knn"] == 3.0
+    assert rows[4]["n_vertices"] == 1
+    assert rows[4]["sum_nb_deg"] == 8
+    assert rows[4]["knn"] == 2.0
