@@ -65,6 +65,35 @@ edges AS (
   GROUP BY a.l_partkey, b.l_partkey
 )"""
 
+# SQL re-synthesis of sources/pages.py::make_pages over the co-order
+# graph (page-id universe 0..max(p_partkey)): the oracle builds the SAME
+# html/text bytes with pure string SQL, so the Spark-side Arrow-UDF
+# extraction is checked against an independent reconstruction.
+_PAGES_CTE = (
+    _EDGES_CTE.strip()
+    + """,
+verts AS (
+  SELECT unnest(generate_series(0, (SELECT max(p_partkey) FROM part))) AS v
+),
+anchors AS (
+  SELECT src AS v,
+         string_agg('<a href="https://host' || (dst % 16) || '.example/p'
+                    || dst || '">link</a>', '' ORDER BY dst) AS a
+  FROM (SELECT DISTINCT src, dst FROM edges) GROUP BY src
+),
+pages AS (
+  SELECT v,
+         'https://host' || (v % 16) || '.example/p' || v AS url,
+         '<html><head><title>p' || v || '</title></head><body>'
+           || coalesce(a.a, '')
+           || '<p>Page ' || v || ' corpus sample token '
+           || ((v * 2654435761) % 997) || '.</p></body></html>' AS html,
+         'Page ' || v || ' corpus sample token '
+           || ((v * 2654435761) % 997) || '.' AS text
+  FROM verts LEFT JOIN anchors a USING (v)
+)"""
+)
+
 _NORM = (
     "trim(regexp_replace(regexp_replace(lower({c}), '[^a-z0-9]+', ' ', 'g'),"
     " ' +', ' ', 'g'))"
@@ -1492,6 +1521,108 @@ def _q_leiden_mod64(spark, sf):
     return refine_partition(e, mem)
 
 
+def _pages_n(spark, sf) -> int:
+    """Page-id universe for the synthetic pages table: 0..max(p_partkey)
+    (dense, deterministic — co-order vertices are l_partkey values, all
+    ≤ max(p_partkey))."""
+    part = spark.read.parquet(f"{sf}/part.parquet").select("p_partkey")
+    return int(part.agg(F.max("p_partkey")).first()[0]) + 1
+
+
+def _q_pages_extract_edges(spark, sf):
+    """The mandated front door (BASELINE.json input_hint) in the HARD
+    signal: synthesize the Common-Crawl-shaped pages table (url,
+    warc_ts, html binary, text, lang) whose anchors encode the co-order
+    graph, extract hrefs with the vectorized Arrow UDF
+    (functions/extract.py), dictionary-encode urls to dense ids
+    (scalable range-partitioned rank, sources/edges.py:27), and
+    aggregate to the weighted directed edge list. The DuckDB twin
+    re-synthesizes the html in SQL and re-extracts with
+    regexp_extract_all — two independent html→edges pipelines must
+    agree row-for-row, ids included."""
+    from louvain_communities_openmp_spark.sources.edges import edges_from_pages
+    from louvain_communities_openmp_spark.sources.pages import make_pages
+
+    pages = make_pages(
+        spark, coorder_edges(spark, sf), n=_pages_n(spark, sf), n_hosts=16
+    )
+    e, _ids = edges_from_pages(pages, symmetric=False)
+    return e.select("src", "dst", "w")
+
+
+def _q_pages_host_profile(spark, sf):
+    """Per-host crawl profile over the synthesized pages table, with
+    the north-rule BYTE-IDENTITY invariant in the hard signal:
+    n_text_exact counts pages whose Arrow-UDF-extracted text equals the
+    stored text column (must equal n_pages on every host — the twin
+    recomputes the extraction with an independent SQL regex), n_links
+    counts extracted anchors. One map-side-combined aggregate over a
+    bounded host domain — no skew risk at any scale."""
+    from louvain_communities_openmp_spark.functions.extract import (
+        extract_links,
+        extract_text,
+    )
+    from louvain_communities_openmp_spark.sources.pages import make_pages
+
+    pages = make_pages(
+        spark, coorder_edges(spark, sf), n=_pages_n(spark, sf), n_hosts=16
+    )
+    return (
+        pages.select(
+            F.regexp_extract("url", r"https://(host\d+)\.example/", 1).alias(
+                "host"
+            ),
+            F.size(extract_links("html")).alias("nl"),
+            (extract_text("html") == F.col("text")).cast("int").alias("tm"),
+            (F.col("lang") == "de").cast("int").alias("de"),
+            F.length("text").alias("tl"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("nl").cast("long").alias("n_links"),
+            F.sum("tm").cast("long").alias("n_text_exact"),
+            F.sum("de").cast("long").alias("n_de"),
+            F.sum("tl").cast("long").alias("text_chars"),
+        )
+    )
+
+
+def _q_pages_latest_capture(spark, sf):
+    """Crawl-index freshness dedupe over the input_hint shape: three
+    captures per url with deterministic warc_ts jitter, keep the
+    freshest per url via ONE map-side-combined max(struct) aggregation
+    (latest_snapshot — NOT a window sort: partial agg collapses each
+    url's captures before the single shuffle, sources/pages.py)."""
+    from louvain_communities_openmp_spark.sources.pages import (
+        latest_snapshot,
+        make_captures,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    latest = latest_snapshot(make_captures(docs, "doc_id", n_captures=3))
+    return latest.select(
+        "url", "capture", F.col("warc_ts").cast("string").alias("ts")
+    )
+
+
+def _q_katz4(spark, sf):
+    """Truncated Katz centrality (4 terms, α=1/100) on the co-order
+    graph — bounded-round contract, pagerank-family plan shape (static
+    table partitioned on the agg key + broadcast scores ⇒ zero edge
+    exchange per round under the gate). exact_int mode carries scores
+    scaled by 100^t as longs (co-occurrence weights are integers), so
+    the unrolled-SQL twin matches EXACTLY — no float-rounding-boundary
+    exposure at all (unlike the round(·,7) pagerank convention)."""
+    from louvain_communities_openmp_spark.operators.centrality import (
+        katz_fixed,
+    )
+
+    return katz_fixed(
+        coorder_edges(spark, sf), alpha=0.01, iters=4, exact_int=True
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g_edges": _q_edges,
@@ -1594,6 +1725,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_edges_monthly": _q_edges_monthly,
         "g_conductance_mod64": _q_conductance,
         "g_knn_curve": _q_knn_curve,
+        "p_extract_edges": _q_pages_extract_edges,
+        "p_host_profile": _q_pages_host_profile,
+        "p_latest_capture": _q_pages_latest_capture,
+        "g_katz4": _q_katz4,
     }
 
 
@@ -2041,6 +2176,34 @@ r{t + 1} AS (
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT id, round(rank, 7) AS rank FROM r{iters}"
+    )
+
+
+def _katz4_sql(alpha: float = 0.01, iters: int = 4) -> str:
+    """Unrolled truncated-Katz twin of katz_fixed(exact_int=True):
+    pure-integer recursion K_{t+1} = inv^{t+1} + Σ w·K_t, exact on both
+    engines (no float tolerance needed)."""
+    inv = round(1.0 / alpha)
+    ctes = [
+        _EDGES_CTE.strip(),
+        "verts AS (SELECT DISTINCT src AS id FROM edges)",
+        "k0 AS (SELECT id, CAST(1 AS BIGINT) AS k FROM verts)",
+    ]
+    for t in range(iters):
+        ctes.append(f"""
+k{t + 1} AS (
+  SELECT v.id,
+         CAST({inv ** (t + 1)} + coalesce(c.s, 0) AS BIGINT) AS k
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(CAST(e.w AS BIGINT) * r.k) AS s
+    FROM edges e JOIN k{t} r ON e.src = r.id
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, k AS katz_x{inv ** iters} FROM k{iters}"
     )
 
 
@@ -3479,6 +3642,52 @@ FROM documents"""
         "       TRUE AS modularity_positive\n"
         "FROM v"
     )
+    out["p_extract_edges"] = (
+        f"WITH {_PAGES_CTE},\n"
+        r"""ids AS (
+  SELECT url, (row_number() OVER (ORDER BY url)) - 1 AS id FROM pages
+),
+links AS (
+  SELECT url AS src_url,
+         unnest(regexp_extract_all(html,
+                '<a\s+[^>]*href="([^"]*)"[^>]*>', 1)) AS dst_url
+  FROM pages
+),
+e2 AS (
+  SELECT i1.id AS src, i2.id AS dst
+  FROM links l
+  JOIN ids i1 ON l.src_url = i1.url
+  JOIN ids i2 ON l.dst_url = i2.url
+  WHERE i1.id <> i2.id
+)
+SELECT src, dst, CAST(count(*) AS DOUBLE) AS w FROM e2 GROUP BY src, dst"""
+    )
+    out["p_host_profile"] = (
+        f"WITH {_PAGES_CTE}\n"
+        r"""SELECT 'host' || (v % 16) AS host,
+       count(*) AS n_pages,
+       CAST(sum(len(regexp_extract_all(html,
+            '<a\s+[^>]*href="([^"]*)"[^>]*>', 1))) AS BIGINT) AS n_links,
+       CAST(sum(CASE WHEN array_to_string(
+            regexp_extract_all(html, '<p>(.*?)</p>', 1), '') = text
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_text_exact,
+       CAST(sum(CASE WHEN v % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       CAST(sum(length(text)) AS BIGINT) AS text_chars
+FROM pages GROUP BY 1"""
+    )
+    out["p_latest_capture"] = """
+WITH caps AS (
+  SELECT 'https://host' || (doc_id % 16) || '.example/p' || doc_id AS url,
+         c.capture AS capture,
+         make_timestamp(2025, 1, 1, 0, 0, 0)
+           + to_seconds((doc_id * 37 + c.capture * 7919) % 99991) AS warc_ts
+  FROM documents, (VALUES (0), (1), (2)) c(capture)
+)
+SELECT url, capture, CAST(warc_ts AS VARCHAR) AS ts
+FROM (SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+      FROM caps)
+WHERE rn = 1"""
+    out["g_katz4"] = _katz4_sql(alpha=0.01, iters=4)
     lx = _louvain_exact_sql()
     if lx is not None:
         out["g_louvain_exact"] = lx

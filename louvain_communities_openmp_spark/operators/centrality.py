@@ -131,3 +131,79 @@ def eccentricities(
         F.max("dist").alias("ecc"),
         F.count("*").alias("n_reached"),
     )
+
+
+def katz_fixed(
+    edges: DataFrame,
+    alpha: float = 0.01,
+    iters: int = 4,
+    exact_int: bool = False,
+) -> DataFrame:
+    """Fixed-iteration Katz centrality: k_{t+1}(v) = 1 + α·Σ_{u→v} w(u,v)·k_t(u),
+    from k_0 ≡ 1 (the truncated Katz series Σ_t α^t (A^T)^t·1 up to
+    path length ``iters``). Fixed iteration count keeps the result an
+    exact, oracle-checkable function of the input — the bounded-round
+    contract shared with ktruss_peel/betweenness/sssp. α must stay
+    below 1/λ_max for the untruncated series to converge; the truncated
+    value is well-defined for any α.
+
+    Plan shape (the pagerank.py dual regime): the static weighted edge
+    table is persisted once, repartitioned on the AGGREGATION key
+    (dst), and the vertex-sized score frame broadcasts into the src
+    join — zero edge exchange per round under the 5M-vertex gate; the
+    contribution sum is a partial+final HashAggregate so hub dsts
+    collapse map-side. Returns (id long, katz double rounded to 6).
+
+    Reference analog: none (the reference is Louvain-only) — a
+    link-graph companion in the PageRank family (north rule).
+    """
+    verts = vertices(edges).persist()
+    n = verts.count()
+    use_bc = n <= 5_000_000
+    if exact_int:
+        # integer-weight graphs with α = 1/inv: carry K_t = inv^t·k_t as
+        # longs (K_{t+1} = inv^{t+1} + Σ w·K_t) — summation-order-exact,
+        # so the cross-engine check needs NO float tolerance. Returns
+        # (id, katz_x{inv^iters}) with katz = K/inv^iters.
+        inv = round(1.0 / alpha)
+        if abs(inv * alpha - 1.0) > 1e-12:
+            raise ValueError("exact_int requires alpha = 1/int")
+        w_col = F.col("w").cast("long")
+    e = edges.select("src", "dst", "w").repartition(
+        "dst" if use_bc else "src"
+    ).persist()
+    e.count()
+    if exact_int:
+        scores = verts.select("id", F.lit(1).cast("long").alias("k"))
+    else:
+        scores = verts.select("id", F.lit(1.0).alias("k"))
+    for t in range(iters):
+        contrib = (
+            e.join(
+                F.broadcast(scores) if use_bc else scores,
+                e.src == F.col("id"),
+            )
+            .groupBy("dst")
+            .agg(
+                F.sum((w_col if exact_int else F.col("w")) * F.col("k")).alias("s")
+            )
+        )
+        base = (
+            F.lit(int(inv ** (t + 1))).cast("long")
+            if exact_int
+            else F.lit(1.0)
+        )
+        zero = F.lit(0).cast("long") if exact_int else F.lit(0.0)
+        gain = F.coalesce("s", zero) if exact_int else F.lit(alpha) * F.coalesce("s", zero)
+        scores = (
+            verts.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .select("id", (base + gain).alias("k"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    verts.unpersist()
+    if exact_int:
+        return scores.select(
+            "id", F.col("k").alias(f"katz_x{inv ** iters}")
+        )
+    return scores.select("id", F.round("k", 6).alias("katz"))

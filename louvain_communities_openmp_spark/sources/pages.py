@@ -81,3 +81,55 @@ def make_pages(
             F.when(F.col("src") % 10 == 0, F.lit("de")).otherwise(F.lit("en")).alias("lang"),
         )
     )
+
+
+def make_captures(ids: DataFrame, id_col: str, n_captures: int = 3) -> DataFrame:
+    """Multi-capture crawl index for a set of page ids: ``n_captures``
+    rows per url with deterministic pseudo-random ``warc_ts`` offsets
+    (a Common-Crawl index has one row per (url, fetch)). Pure Catalyst
+    — explodes a literal capture array, no randomness, no driver loop.
+
+    Offsets ``(id*37 + c*7919) % 99991`` are collision-free within a
+    url (7919·Δc ≢ 0 mod 99991 for Δc ∈ {1,2}), so "latest" is
+    unambiguous.
+    """
+    i = F.col(id_col).cast("long")
+    return (
+        ids.select(i.alias("_i"), url_of(i).alias("url"))
+        .select(
+            "url",
+            "_i",
+            F.explode(F.array(*[F.lit(c) for c in range(n_captures)])).alias("capture"),
+        )
+        .select(
+            "url",
+            "capture",
+            (
+                F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+                + F.make_interval(
+                    secs=((F.col("_i") * 37 + F.col("capture") * 7919) % 99991).cast(
+                        "double"
+                    )
+                )
+            ).alias("warc_ts"),
+        )
+    )
+
+
+def latest_snapshot(captures: DataFrame, key: str = "url", ts: str = "warc_ts") -> DataFrame:
+    """One row per ``key``: the capture with the max ``ts`` (dedupe a
+    crawl index down to the freshest snapshot of every url).
+
+    Plan shape (100 TB): a single map-side-combined `max(struct)`
+    aggregation — the struct comparator orders by ``ts`` first, so the
+    partial agg collapses each key's captures inside every input
+    partition before the one shuffle on ``key``. This beats the
+    row_number-over-window formulation, which shuffles ALL capture
+    rows and sorts each key group.  Deterministic under ts ties: the
+    remaining columns break them lexicographically.
+    """
+    others = [c for c in captures.columns if c != key]
+    packed = captures.groupBy(key).agg(
+        F.max(F.struct(ts, *[c for c in others if c != ts])).alias("_s")
+    )
+    return packed.select(key, *[F.col(f"_s.{c}").alias(c) for c in others])

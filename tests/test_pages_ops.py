@@ -1,0 +1,81 @@
+"""Pages-table operators: capture synthesis, freshness dedupe, Katz.
+
+The p_* driver queries put the input_hint shape and the byte-identity
+extraction invariant into the DuckDB-gated hard signal; these tests pin
+the same operators against in-Python references on fixtures.
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from louvain_communities_openmp_spark.operators.centrality import katz_fixed
+from louvain_communities_openmp_spark.oracle import karate
+from louvain_communities_openmp_spark.sources.edges import edges_from_list
+from louvain_communities_openmp_spark.sources.pages import (
+    latest_snapshot,
+    make_captures,
+)
+
+
+def test_make_captures_shape_and_no_ties(spark):
+    ids = spark.range(40).withColumnRenamed("id", "doc_id")
+    caps = make_captures(ids, "doc_id", n_captures=3)
+    rows = caps.collect()
+    assert len(rows) == 120
+    by_url: dict = {}
+    for r in rows:
+        by_url.setdefault(r["url"], []).append(r["warc_ts"])
+    # 3 captures per url, all timestamps distinct within a url
+    for ts in by_url.values():
+        assert len(ts) == 3
+        assert len(set(ts)) == 3
+
+
+def test_latest_snapshot_is_argmax_per_key(spark):
+    ids = spark.range(40).withColumnRenamed("id", "doc_id")
+    caps = make_captures(ids, "doc_id", n_captures=3).persist()
+    got = {r["url"]: r["warc_ts"] for r in latest_snapshot(caps).collect()}
+    want = {
+        r["url"]: r["mx"]
+        for r in caps.groupBy("url").agg(F.max("warc_ts").alias("mx")).collect()
+    }
+    assert got == want
+    # one row per url, all columns preserved
+    out = latest_snapshot(caps)
+    assert set(out.columns) == {"url", "capture", "warc_ts"}
+    assert out.count() == 40
+    caps.unpersist()
+
+
+def test_latest_snapshot_single_aggregation_no_window_sort(spark):
+    """The plan must be the map-side-combinable max(struct) aggregate,
+    not a window sort: exactly one Exchange (on the key), no Window."""
+    ids = spark.range(16).withColumnRenamed("id", "doc_id")
+    plan = latest_snapshot(
+        make_captures(ids, "doc_id")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
+
+
+def test_katz_exact_int_matches_float_path(spark):
+    e = edges_from_list(spark, karate())
+    f = {r["id"]: r["katz"] for r in katz_fixed(e, 0.01, 4).collect()}
+    x = {
+        r["id"]: r["katz_x100000000"] / 1e8
+        for r in katz_fixed(e, 0.01, 4, exact_int=True).collect()
+    }
+    assert set(f) == set(x)
+    for v in f:
+        # float path rounds half-up to 6 decimals, so it may sit a full
+        # half-ulp (5e-7) from the exact integer-arithmetic value
+        assert math.isclose(f[v], x[v], rel_tol=0, abs_tol=6e-7)
+
+
+def test_katz_hand_computed_on_path(spark):
+    # path 0-1-2 (w=1): k0=1; k1(v)=1+0.01*deg(v);
+    # k2(0)=1+.01*k1(1)=1.0102, k2(1)=1+.01*(k1(0)+k1(2))=1.0202
+    e = edges_from_list(spark, [(0, 1, 1), (1, 0, 1), (1, 2, 1), (2, 1, 1)])
+    got = {r["id"]: r["katz"] for r in katz_fixed(e, 0.01, 2).collect()}
+    assert got == {0: 1.0102, 1: 1.0202, 2: 1.0102}
