@@ -78,7 +78,8 @@ verts AS (
 anchors AS (
   SELECT src AS v,
          string_agg('<a href="https://host' || (dst % 16) || '.example/p'
-                    || dst || '">link</a>', '' ORDER BY dst) AS a
+                    || dst || '">w' || ((src * 31 + dst) % 7) || ' p' || dst
+                    || '</a>', '' ORDER BY dst) AS a
   FROM (SELECT DISTINCT src, dst FROM edges) GROUP BY src
 ),
 pages AS (
@@ -1606,6 +1607,62 @@ def _q_pages_latest_capture(spark, sf):
     )
 
 
+def _q_pages_anchor_terms(spark, sf):
+    """Inbound anchor-text profile per target url (operators/anchors.py
+    — the web-search link-context feature): total anchor terms + the
+    dominant term, both aggregates map-side-combinable. The twin
+    re-extracts (href, text) pairs with an independent SQL regex over
+    the re-synthesized html."""
+    from louvain_communities_openmp_spark.operators.anchors import (
+        anchor_text_terms,
+    )
+    from louvain_communities_openmp_spark.sources.pages import make_pages
+
+    pages = make_pages(
+        spark, coorder_edges(spark, sf), n=_pages_n(spark, sf), n_hosts=16
+    )
+    return anchor_text_terms(pages)
+
+
+def _q_url_canonical(spark, sf):
+    """URL canonicalization (functions/urls.py — pure Catalyst, no
+    Python): three messy spellings per page (mixed-case scheme/host,
+    default ports, empty query, fragment) collapse to their canonical
+    key. The twin re-implements the documented grammar independently in
+    SQL. https variants collapse 2→1; the http variant keeps its own
+    canonical (scheme is identity)."""
+    from louvain_communities_openmp_spark.functions.urls import (
+        canonical_url,
+        host_of,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    h = (F.col("doc_id") % 16).cast("string")
+    i = F.col("doc_id").cast("string")
+    raw = docs.select(
+        F.explode(
+            F.array(
+                F.concat(
+                    F.lit("HTTPS://Host"), h, F.lit(".Example:443/p"), i,
+                    F.lit("#sec"), (F.col("doc_id") % 5).cast("string"),
+                ),
+                F.concat(
+                    F.lit("https://host"), h, F.lit(".example/p"), i, F.lit("?")
+                ),
+                F.concat(F.lit("http://HOST"), h, F.lit(".example:80/p"), i),
+            )
+        ).alias("url")
+    )
+    return (
+        raw.select(
+            canonical_url(F.col("url")).alias("canonical"),
+            host_of(F.col("url")).alias("host"),
+        )
+        .groupBy("canonical", "host")
+        .agg(F.count("*").alias("n_variants"))
+    )
+
+
 def _q_katz4(spark, sf):
     """Truncated Katz centrality (4 terms, α=1/100) on the co-order
     graph — bounded-round contract, pagerank-family plan shape (static
@@ -1728,6 +1785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_extract_edges": _q_pages_extract_edges,
         "p_host_profile": _q_pages_host_profile,
         "p_latest_capture": _q_pages_latest_capture,
+        "p_anchor_terms": _q_pages_anchor_terms,
+        "p_url_canonical": _q_url_canonical,
         "g_katz4": _q_katz4,
     }
 
@@ -3687,6 +3746,68 @@ SELECT url, capture, CAST(warc_ts AS VARCHAR) AS ts
 FROM (SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
       FROM caps)
 WHERE rn = 1"""
+    out["p_anchor_terms"] = (
+        f"WITH {_PAGES_CTE},\n"
+        r"""z AS (
+  SELECT unnest(list_zip(
+           regexp_extract_all(html,
+             '<a\s+[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1),
+           regexp_extract_all(html,
+             '<a\s+[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2))) AS u
+  FROM pages
+),
+toks AS (
+  SELECT u[1] AS url,
+         unnest(string_split(u[2], ' ')) AS term
+  FROM z
+),
+counts AS (
+  SELECT url, term, count(*) AS n FROM toks WHERE term <> ''
+  GROUP BY url, term
+)
+SELECT url,
+       CAST(n_anchor_terms AS BIGINT) AS n_anchor_terms,
+       term AS top_term, n AS top_term_n
+FROM (
+  SELECT url, term, n,
+         sum(n) OVER (PARTITION BY url) AS n_anchor_terms,
+         row_number() OVER (PARTITION BY url
+                            ORDER BY n DESC, term DESC) AS rn
+  FROM counts
+) WHERE rn = 1"""
+    )
+    out["p_url_canonical"] = r"""
+WITH raw AS (
+  SELECT unnest([
+    'HTTPS://Host' || (doc_id % 16) || '.Example:443/p' || doc_id
+      || '#sec' || (doc_id % 5),
+    'https://host' || (doc_id % 16) || '.example/p' || doc_id || '?',
+    'http://HOST' || (doc_id % 16) || '.example:80/p' || doc_id
+  ]) AS url FROM documents
+),
+parts AS (
+  SELECT url,
+    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 1)) AS scheme,
+    lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 2)) AS hostport,
+    regexp_extract(regexp_replace(url, '#.*$', ''),
+      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)(.*)$', 3) AS rest
+  FROM raw
+),
+canon AS (
+  SELECT
+    scheme || '://'
+      || (CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+               WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+               ELSE hostport END)
+      || (CASE WHEN regexp_replace(rest, '\?$', '') = '' THEN '/'
+               ELSE regexp_replace(rest, '\?$', '') END) AS canonical,
+    regexp_replace(hostport, ':[0-9]+$', '') AS host
+  FROM parts
+)
+SELECT canonical, host, count(*) AS n_variants
+FROM canon GROUP BY 1, 2"""
     out["g_katz4"] = _katz4_sql(alpha=0.01, iters=4)
     lx = _louvain_exact_sql()
     if lx is not None:

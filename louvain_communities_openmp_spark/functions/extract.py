@@ -21,10 +21,16 @@ import re
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import (
+    ArrayType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 _HREF = re.compile(r'<a\s+[^>]*href="([^"]*)"[^>]*>')
 _PARA = re.compile(r"<p>(.*?)</p>", re.S)
+_ANCHOR = re.compile(r'<a\s+[^>]*href="([^"]*)"[^>]*>([^<]*)</a>')
 
 
 def extract_links_py(html: bytes | str) -> list[str]:
@@ -46,3 +52,24 @@ def extract_links(html: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def extract_text(html: pd.Series) -> pd.Series:
     return html.map(extract_text_py)
+
+
+def extract_anchors_py(html: bytes | str) -> list[tuple[str, str]]:
+    """(href, anchor text) pairs in document order — the link-context
+    grammar: the anchor body up to the first nested tag."""
+    s = html.decode("utf-8", errors="replace") if isinstance(html, (bytes, bytearray)) else html
+    return _ANCHOR.findall(s)
+
+
+@pandas_udf(
+    ArrayType(
+        StructType(
+            [
+                StructField("href", StringType()),
+                StructField("atext", StringType()),
+            ]
+        )
+    )
+)
+def extract_anchors(html: pd.Series) -> pd.Series:
+    return html.map(extract_anchors_py)

@@ -40,11 +40,20 @@ def make_pages(
         edges.groupBy("src")
         .agg(F.sort_array(F.collect_list("dst")).alias("dsts"))
     )
+    # anchor text is deterministic and varied — "w{(src*31+dst)%7} p{dst}"
+    # — so inbound-anchor-text aggregation (operators/anchors.py) has a
+    # real term distribution to rank, not a constant
     anchors = F.array_join(
         F.transform(
             F.col("dsts"),
             lambda d: F.concat(
-                F.lit('<a href="'), url_of(d, n_hosts), F.lit('">link</a>')
+                F.lit('<a href="'),
+                url_of(d, n_hosts),
+                F.lit('">w'),
+                ((F.col("src") * 31 + d) % 7).cast("string"),
+                F.lit(" p"),
+                d.cast("string"),
+                F.lit("</a>"),
             ),
         ),
         "",

@@ -79,3 +79,65 @@ def test_katz_hand_computed_on_path(spark):
     e = edges_from_list(spark, [(0, 1, 1), (1, 0, 1), (1, 2, 1), (2, 1, 1)])
     got = {r["id"]: r["katz"] for r in katz_fixed(e, 0.01, 2).collect()}
     assert got == {0: 1.0102, 1: 1.0202, 2: 1.0102}
+
+
+def test_canonical_url_grammar(spark):
+    from louvain_communities_openmp_spark.functions.urls import (
+        canonical_url,
+        host_of,
+    )
+
+    cases = [
+        ("HTTPS://ExAmple.COM:443/Path#frag", "https://example.com/Path"),
+        ("http://a.b:80/", "http://a.b/"),
+        ("http://a.b:8080/x", "http://a.b:8080/x"),  # non-default port kept
+        ("https://a.b", "https://a.b/"),  # empty path -> /
+        ("https://a.b/x?", "https://a.b/x"),  # empty query dropped
+        ("https://a.b/x?q=1", "https://a.b/x?q=1"),  # real query kept
+        ("https://a.b/CaseSensitive", "https://a.b/CaseSensitive"),
+        ("not a url#f", "not a url"),  # schemeless: fragment cut only
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+    hosts = [
+        r["h"]
+        for r in df.select(host_of(F.col("url")).alias("h")).collect()
+    ]
+    assert hosts[0] == "example.com" and hosts[2] == "a.b" and hosts[-1] == ""
+
+
+def test_extract_anchors_pairs_in_document_order(spark):
+    from louvain_communities_openmp_spark.functions.extract import (
+        extract_anchors_py,
+    )
+
+    html = (
+        b'<a href="u1">first text</a> junk '
+        b'<a class="c" href="u2">second</a><a href="u1">dup</a>'
+    )
+    assert extract_anchors_py(html) == [
+        ("u1", "first text"),
+        ("u2", "second"),
+        ("u1", "dup"),
+    ]
+
+
+def test_anchor_text_terms_top_term(spark):
+    from louvain_communities_openmp_spark.operators.anchors import (
+        anchor_text_terms,
+    )
+
+    rows = [
+        (b'<a href="t">alpha beta</a><a href="t">alpha</a>',),
+        (b'<a href="t">gamma</a><a href="s">solo</a>',),
+    ]
+    pages = spark.createDataFrame(rows, "html binary")
+    got = {
+        r["url"]: (r["n_anchor_terms"], r["top_term"], r["top_term_n"])
+        for r in anchor_text_terms(pages).collect()
+    }
+    assert got == {"t": (4, "alpha", 2), "s": (1, "solo", 1)}
