@@ -1624,6 +1624,17 @@ def _q_pages_anchor_terms(spark, sf):
     return anchor_text_terms(pages)
 
 
+def _q_mis3(spark, sf):
+    """Three deterministic Luby MIS rounds on the co-order graph
+    (operators/mis.py): status 1 = in set, 2 = excluded, 0 = undecided
+    after the round budget. Deterministic multiplicative-hash
+    priorities make each round an exact function of the input; the twin
+    unrolls the rounds with correlated anti-joins."""
+    from louvain_communities_openmp_spark.operators.mis import mis_rounds
+
+    return mis_rounds(coorder_edges(spark, sf), rounds=3)
+
+
 def _q_url_canonical(spark, sf):
     """URL canonicalization (functions/urls.py — pure Catalyst, no
     Python): three messy spellings per page (mixed-case scheme/host,
@@ -1788,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_anchor_terms": _q_pages_anchor_terms,
         "p_url_canonical": _q_url_canonical,
         "g_katz4": _q_katz4,
+        "g_mis3": _q_mis3,
     }
 
 
@@ -2235,6 +2247,51 @@ r{t + 1} AS (
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT id, round(rank, 7) AS rank FROM r{iters}"
+    )
+
+
+def _mis_sql(rounds: int = 3) -> str:
+    """Unrolled deterministic-Luby twin of operators.mis.mis_rounds:
+    u{t} = still-undecided, w{t} = round-t winners (strictly smallest
+    (p, id) in their undecided neighborhood), x{t} = their undecided
+    neighbors."""
+    ctes = [
+        _EDGES_CTE.strip(),
+        "sym AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        "u0 AS (SELECT DISTINCT src AS id,"
+        " (src * 2654435761) % 1000003 AS p FROM edges)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""
+w{t} AS (
+  SELECT u.id FROM u{t - 1} u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sym e JOIN u{t - 1} n ON e.dst = n.id
+    WHERE e.src = u.id
+      AND (n.p < u.p OR (n.p = u.p AND n.id < u.id))
+  )
+)""")
+        ctes.append(f"""
+x{t} AS (
+  SELECT DISTINCT e.dst AS id
+  FROM sym e JOIN w{t} w ON e.src = w.id
+  JOIN u{t - 1} u ON e.dst = u.id
+)""")
+        ctes.append(
+            f"u{t} AS (SELECT id, p FROM u{t - 1} WHERE id NOT IN "
+            f"(SELECT id FROM w{t}) AND id NOT IN (SELECT id FROM x{t}))"
+        )
+    wins = " UNION ALL ".join(f"SELECT id FROM w{t}" for t in range(1, rounds + 1))
+    excl = " UNION ALL ".join(f"SELECT id FROM x{t}" for t in range(1, rounds + 1))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT u0.id,
+       CAST(CASE WHEN u0.id IN ({wins}) THEN 1
+                 WHEN u0.id IN ({excl}) THEN 2
+                 ELSE 0 END AS INT) AS status
+FROM u0"""
     )
 
 
@@ -3809,6 +3866,7 @@ canon AS (
 SELECT canonical, host, count(*) AS n_variants
 FROM canon GROUP BY 1, 2"""
     out["g_katz4"] = _katz4_sql(alpha=0.01, iters=4)
+    out["g_mis3"] = _mis_sql(rounds=3)
     lx = _louvain_exact_sql()
     if lx is not None:
         out["g_louvain_exact"] = lx
