@@ -119,6 +119,37 @@ def main() -> None:
             " reuses the hash-min + pointer-jump components plan.",
             qs["g_leiden_mod64"],
         ),
+        (
+            "p_extract_edges — pages → links → dense ids → edges",
+            "The pages scan is pruned to (url, html); extraction is one"
+            " ArrowEvalPython stage; dense ids come from the range-"
+            "partitioned per-partition rank (no single-partition global"
+            " window); the final aggregate is partial+final.",
+            qs["p_extract_edges"],
+        ),
+        (
+            "p_anchor_terms — inbound anchor-text profile",
+            "Two map-side-combined aggregates back to back ((url, term)"
+            " counts, then per-url max(struct)); no Window operator"
+            " anywhere in the plan.",
+            qs["p_anchor_terms"],
+        ),
+        (
+            "g_katz4 — truncated Katz (exact-int)",
+            "Per-round plan collapsed by the localCheckpoints: the"
+            " visible plan is the final vertex-sized projection; rounds"
+            " themselves are broadcast-join + partial-agg (pagerank"
+            " shape).",
+            qs["g_katz4"],
+        ),
+        (
+            "g_mis3 — deterministic Luby MIS",
+            "Final plan is the vertex-sized status projection (rounds"
+            " checkpointed); per-round: undecided frontier broadcast"
+            " into the static src-partitioned edge table + min(struct)"
+            " partial agg.",
+            qs["g_mis3"],
+        ),
     ]
     out = [
         "# PLANS — captured physical plans (sf0.01, local[8])",
