@@ -76,6 +76,26 @@ def run_suite(spark, sf_dir: str) -> tuple[dict, dict]:
     n_edges = edges.count()
     extras["n_edges_directed"] = n_edges
 
+    # the mandated front door (north rule: hyperlinks extracted from
+    # html via vectorized Arrow UDFs): synthesize the pages table whose
+    # anchors encode this graph (untimed — generation isn't the
+    # operator), then time html → links → dense ids → edge aggregation
+    from louvain_communities_openmp_spark.sources.edges import edges_from_pages
+    from louvain_communities_openmp_spark.sources.pages import make_pages
+
+    import pyspark.sql.functions as F
+
+    n_pages = (
+        edges.agg(F.max(F.greatest("src", "dst")).alias("m")).first()["m"] + 1
+    )
+    pages = make_pages(spark, edges, n=int(n_pages)).persist()
+    extras["n_pages"] = pages.count()
+    extras["n_links_extracted"] = timed(
+        "pages_extract",
+        lambda: edges_from_pages(pages, symmetric=False)[0].count(),
+    )
+    pages.unpersist()
+
     res = timed(
         "louvain",
         lambda: louvain(edges, LouvainOptions(mode="auto")),
