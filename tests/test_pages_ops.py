@@ -141,3 +141,96 @@ def test_anchor_text_terms_top_term(spark):
         for r in anchor_text_terms(pages).collect()
     }
     assert got == {"t": (4, "alpha", 2), "s": (1, "solo", 1)}
+
+
+def _caps_df(spark, rows):
+    from louvain_communities_openmp_spark.streaming.capture_stream import (
+        CAPTURE_SCHEMA,
+    )
+
+    return spark.createDataFrame(rows, CAPTURE_SCHEMA)
+
+
+def test_capture_stream_batch_parity_and_out_of_order(spark, tmp_path):
+    """Streaming argmax-merge over split batches == one-shot
+    latest_snapshot over all captures, even when an older capture
+    arrives in a LATER batch."""
+    import datetime as dt
+
+    from louvain_communities_openmp_spark.sources.pages import latest_snapshot
+    from louvain_communities_openmp_spark.streaming.capture_stream import (
+        SnapshotStore,
+        apply_capture_batch,
+    )
+
+    t = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)  # noqa: E731
+    all_rows = [
+        ("u1", 0, t(10)),
+        ("u1", 1, t(30)),
+        ("u2", 0, t(20)),
+        ("u1", 2, t(5)),   # stale capture, arrives last
+        ("u3", 0, t(1)),
+    ]
+    store = SnapshotStore(spark, str(tmp_path / "state"))
+    apply_capture_batch(store, _caps_df(spark, all_rows[:2]), 0)
+    apply_capture_batch(store, _caps_df(spark, all_rows[2:3]), 1)
+    apply_capture_batch(store, _caps_df(spark, all_rows[3:]), 2)
+    got = {
+        r["url"]: (r["capture"], r["warc_ts"]) for r in store.load().collect()
+    }
+    want = {
+        r["url"]: (r["capture"], r["warc_ts"])
+        for r in latest_snapshot(_caps_df(spark, all_rows)).collect()
+    }
+    assert got == want
+    assert got["u1"] == (1, t(30))  # stale arrival did not regress
+
+
+def test_capture_stream_replay_is_exactly_once(spark, tmp_path):
+    import datetime as dt
+
+    from louvain_communities_openmp_spark.streaming.capture_stream import (
+        SnapshotStore,
+        apply_capture_batch,
+    )
+
+    rows = [("u1", 0, dt.datetime(2025, 1, 1))]
+    store = SnapshotStore(spark, str(tmp_path / "state"))
+    v0 = apply_capture_batch(store, _caps_df(spark, rows), 7)
+    replay = apply_capture_batch(store, _caps_df(spark, rows), 7)
+    assert v0 == 0 and replay == -1
+    assert store.latest_version() == 0  # no duplicate version committed
+
+
+def test_capture_stream_end_to_end_files(spark, tmp_path):
+    """Drive the real readStream/foreachBatch path over parquet files."""
+    import datetime as dt
+
+    from louvain_communities_openmp_spark.streaming.capture_stream import (
+        SnapshotStore,
+        start_capture_stream,
+    )
+
+    import glob
+    import shutil
+
+    src = tmp_path / "caps"
+    src.mkdir()
+    t = lambda s: dt.datetime(2025, 1, 1, 0, 0, s)  # noqa: E731
+    batches = [
+        [("a", 0, t(1)), ("b", 0, t(2))],
+        [("a", 1, t(9)), ("c", 0, t(3))],
+    ]
+    # the file source watches a FLAT dir: write each batch then move
+    # its part file up under an ordered name (doc_stream test pattern)
+    for i, rows in enumerate(batches):
+        d = src / f"f{i}"
+        _caps_df(spark, rows).coalesce(1).write.parquet(str(d))
+        part = glob.glob(str(d / "part-*.parquet"))[0]
+        shutil.move(part, str(src / f"{i:04d}.parquet"))
+        shutil.rmtree(str(d))
+    q = start_capture_stream(spark, str(src), str(tmp_path / "state"))
+    q.awaitTermination(120)
+    store = SnapshotStore(spark, str(tmp_path / "state"))
+    got = {r["url"]: r["capture"] for r in store.load().collect()}
+    assert got == {"a": 1, "b": 0, "c": 0}
