@@ -1691,6 +1691,74 @@ def _q_katz4(spark, sf):
     )
 
 
+def _q_resource_alloc(spark, sf):
+    """Resource-Allocation link-prediction scores (Σ 1/deg over common
+    neighbors) for the top-100 common-neighbor pairs; same hub cap,
+    wedge plan, and integer-ranked ordering contract as
+    g_adamic_adar100."""
+    from louvain_communities_openmp_spark.operators.linkpred import (
+        resource_allocation_topk,
+    )
+
+    return resource_allocation_topk(
+        coorder_edges(spark, sf), k=100, max_pivot_degree=10_000
+    )
+
+
+def _q_pref_attach(spark, sf):
+    """Preferential-attachment scores deg(a)·deg(b) for the top-100
+    common-neighbor pairs — exact BIGINT product, no float anywhere in
+    the query; degrees from the full graph, candidate wedges under the
+    shared hub cap."""
+    from louvain_communities_openmp_spark.operators.linkpred import (
+        preferential_attachment_topk,
+    )
+
+    return preferential_attachment_topk(
+        coorder_edges(spark, sf), k=100, max_pivot_degree=10_000
+    )
+
+
+def _q_closeness(spark, sf):
+    """Per-pivot closeness centrality over the reachable set (8
+    deterministic pivot sources, Wasserman-Faust form): one row per
+    pivot with (n_reached, sum_dist, closeness); shares the
+    multi-source-BFS kernel with g_harmonic8/g_ecc8."""
+    from louvain_communities_openmp_spark.operators.centrality import (
+        closeness_per_source,
+    )
+
+    return closeness_per_source(coorder_edges(spark, sf), n_sources=8)
+
+
+def _q_eigen4(spark, sf):
+    """Eigenvector-centrality power iterate (4 steps, exact integer
+    carry): paths4 = weighted length-4 path count into each vertex
+    (BIGINT, exact on both engines), eigenvector = paths4 / Σ paths4
+    rounded to 9 — the single float op is one division of two exact
+    integers (the g_katz4 exactness contract)."""
+    from louvain_communities_openmp_spark.operators.centrality import (
+        eigenvector_fixed,
+    )
+
+    return eigenvector_fixed(coorder_edges(spark, sf), iters=4)
+
+
+_BM25_TERMS = ("filter", "hash", "join", "merge", "slow")
+
+
+def _q_bm25(spark, sf):
+    """Okapi BM25 relevance of every document against a fixed 5-term
+    query (k1=1.2, b=0.75): (doc_id, n_terms_matched, bm25) for docs
+    matching ≥1 term — the retrieval-scoring primitive; no
+    float-ordered cut (the row set is exact)."""
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        bm25_scores,
+    )
+
+    return bm25_scores(_docs(spark, sf), list(_BM25_TERMS))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g_edges": _q_edges,
@@ -1800,6 +1868,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_url_canonical": _q_url_canonical,
         "g_katz4": _q_katz4,
         "g_mis3": _q_mis3,
+        "g_resource_alloc100": _q_resource_alloc,
+        "g_pref_attach100": _q_pref_attach,
+        "g_closeness8": _q_closeness,
+        "g_eigen4": _q_eigen4,
+        "d_bm25": _q_bm25,
     }
 
 
@@ -2674,6 +2747,62 @@ FROM verts v LEFT JOIN (
 ) h ON v.id = h.id
 UNION ALL
 SELECT CAST(-1 AS BIGINT), CAST(-97 AS DOUBLE) WHERE {_msbfs_sentinel(rounds)}"""
+    )
+
+
+def _closeness_sql(n_sources: int = 8, rounds: int = 12) -> str:
+    """Per-pivot reachable-set closeness twin of
+    closeness_per_source: same unrolled multi-source BFS chain as
+    _harmonic_sql/_ecc_sql, finished with one pivot-keyed aggregate;
+    the convergence sentinel row fails the gate loudly if the unroll
+    depth was insufficient."""
+    ctes = _msbfs_ctes(n_sources, rounds)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT s, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(dist) AS BIGINT) AS sum_dist,
+       round(coalesce(CAST(count(*) - 1 AS DOUBLE)
+                      / nullif(CAST(sum(dist) AS DOUBLE), 0.0), 0.0), 6)
+         AS closeness
+FROM b{rounds} GROUP BY s
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-97 AS DOUBLE)
+WHERE {_msbfs_sentinel(rounds)}"""
+    )
+
+
+def _eigen4_sql(iters: int = 4) -> str:
+    """Unrolled integer power-iteration twin of eigenvector_fixed:
+    p_{{t+1}} = Σ w·p_t carried as exact BIGINTs; the single float op
+    is the final normalization division (the _katz4_sql exactness
+    contract)."""
+    ctes = [
+        _EDGES_CTE.strip(),
+        "verts AS (SELECT DISTINCT src AS id FROM edges)",
+        "p0 AS (SELECT id, CAST(1 AS BIGINT) AS p FROM verts)",
+    ]
+    for t in range(iters):
+        ctes.append(f"""
+p{t + 1} AS (
+  SELECT v.id, CAST(coalesce(c.s, 0) AS BIGINT) AS p
+  FROM verts v LEFT JOIN (
+    SELECT e.dst AS id, sum(CAST(e.w AS BIGINT) * r.p) AS s
+    FROM edges e JOIN p{t} r ON e.src = r.id
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT id, p AS paths{iters},
+       round(CAST(p AS DOUBLE)
+             / (SELECT CAST(sum(p) AS DOUBLE) FROM p{iters}), 9)
+         AS eigenvector
+FROM p{iters}"""
     )
 
 
@@ -3867,6 +3996,66 @@ SELECT canonical, host, count(*) AS n_variants
 FROM canon GROUP BY 1, 2"""
     out["g_katz4"] = _katz4_sql(alpha=0.01, iters=4)
     out["g_mis3"] = _mis_sql(rounds=3)
+    out["g_resource_alloc100"] = (
+        f"WITH {_EDGES_CTE.strip()},\n"
+        """c AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
+sym AS (SELECT src, dst FROM c UNION ALL SELECT dst, src FROM c),
+pd AS (SELECT src AS u, count(*) AS pdeg FROM sym GROUP BY src
+       HAVING count(*) <= 10000),
+piv AS (SELECT pd.u, s.dst, pd.pdeg FROM sym s JOIN pd ON s.src = pd.u)
+SELECT l.dst AS a, r.dst AS b,
+       CAST(count(*) AS BIGINT) AS common_neighbors,
+       round(sum(1.0 / l.pdeg), 6) AS ra_score
+FROM piv l JOIN piv r ON l.u = r.u AND l.dst < r.dst
+GROUP BY 1, 2
+ORDER BY common_neighbors DESC, a, b LIMIT 100"""
+    )
+    out["g_pref_attach100"] = (
+        f"WITH {_EDGES_CTE.strip()},\n"
+        """c AS (SELECT DISTINCT src, dst FROM edges WHERE src < dst),
+sym AS (SELECT src, dst FROM c UNION ALL SELECT dst, src FROM c),
+pd AS (SELECT src AS u, count(*) AS pdeg FROM sym GROUP BY src
+       HAVING count(*) <= 10000),
+piv AS (SELECT pd.u, s.dst FROM sym s JOIN pd ON s.src = pd.u),
+pairs AS (
+  SELECT l.dst AS a, r.dst AS b, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM piv l JOIN piv r ON l.u = r.u AND l.dst < r.dst
+  GROUP BY 1, 2
+  ORDER BY common_neighbors DESC, a, b LIMIT 100),
+deg AS (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src)
+SELECT a, b, common_neighbors,
+       CAST(da.deg * db.deg AS BIGINT) AS pa_score
+FROM pairs JOIN deg da ON pairs.a = da.id JOIN deg db ON pairs.b = db.id
+ORDER BY common_neighbors DESC, a, b"""
+    )
+    out["g_closeness8"] = _closeness_sql(n_sources=8, rounds=12)
+    out["g_eigen4"] = _eigen4_sql(iters=4)
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
+    out["d_bm25"] = f"""
+WITH base AS (
+  SELECT doc_id, {_toks('text')} AS toks FROM documents
+  WHERE {_norm('text')} <> ''
+),
+stats AS (SELECT count(*) AS n, sum(len(toks)) AS total_len FROM base),
+tf AS (
+  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM base)
+  WHERE token IN ({terms_sql})
+  GROUP BY doc_id, dl, token
+),
+dft AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+per AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (CAST(stats.n AS DOUBLE) - dft.df + 0.5) / (dft.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                             / (CAST(stats.total_len AS DOUBLE) / stats.n)))
+           AS score
+  FROM tf JOIN dft ON tf.token = dft.token, stats
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+       round(sum(score), 6) AS bm25
+FROM per GROUP BY doc_id"""
     lx = _louvain_exact_sql()
     if lx is not None:
         out["g_louvain_exact"] = lx

@@ -207,3 +207,98 @@ def katz_fixed(
             "id", F.col("k").alias(f"katz_x{inv ** iters}")
         )
     return scores.select("id", F.round("k", 6).alias("katz"))
+
+
+def closeness_per_source(
+    edges: DataFrame,
+    n_sources: int = 8,
+    max_iter: int = 64,
+) -> DataFrame:
+    """Per-pivot closeness centrality over the reachable set:
+    (s, n_reached, sum_dist, closeness) where
+    closeness = (n_reached − 1) / Σ_{v reachable, v≠s} d(s, v)
+    (Wasserman–Faust's reachable-set form, the one that stays
+    well-defined on disconnected graphs), rounded to 6; a pivot that
+    reaches nothing scores 0.0. The deterministic pivot set and BFS
+    kernel are multi_source_bfs — same per-round frontier economics
+    and eager-checkpoint lineage as harmonic_centrality /
+    eccentricities; the finish is one pivot-keyed aggregate (8 rows).
+
+    Reference analog: none (the reference is Louvain-only) — a
+    link-graph companion in the sampled-centrality family
+    (BASELINE.json north_rule).
+    """
+    visited, _ = multi_source_bfs(edges, n_sources, max_iter)
+    return visited.groupBy("s").agg(
+        F.count("*").alias("n_reached"),
+        F.sum("dist").alias("sum_dist"),
+        F.round(
+            F.coalesce(
+                F.try_divide(
+                    (F.count("*") - F.lit(1)).cast("double"),
+                    F.sum("dist").cast("double"),
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("closeness"),
+    )
+
+
+def eigenvector_fixed(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Fixed-iteration eigenvector-centrality power step with EXACT
+    integer carry: p_{t+1}(v) = Σ_{u→v} w(u,v)·p_t(u) from p_0 ≡ 1,
+    so p_t(v) is the weighted count of length-t directed paths ending
+    at v — the unnormalized power-method iterate whose normalized
+    limit is the principal eigenvector of Aᵀ. Returns
+    (id, paths{iters} BIGINT, eigenvector DOUBLE) where eigenvector =
+    round(p_t(v) / Σ_u p_t(u), 9): the only float op is ONE division
+    of two exact integers, so the cross-engine check carries no
+    accumulated-float tolerance (the katz_fixed(exact_int=True)
+    contract). Overflow bound: p_t ≤ (max weighted in-degree)^t —
+    int64-safe for iters=4 up to in-degree ~55k; callers at larger
+    scale lower iters or pre-normalize weights.
+
+    Plan shape: identical to katz_fixed — pass-static edge table
+    repartitioned on the aggregation key (dst), vertex-sized score
+    frame broadcast under the 5M gate, partial+final HashAggregate
+    collapsing hub dsts map-side, eager localCheckpoint per round.
+
+    Reference analog: none (the reference is Louvain-only) — a
+    PageRank-family link-graph companion (north rule).
+    """
+    verts = vertices(edges).persist()
+    n = verts.count()
+    use_bc = n <= 5_000_000
+    e = edges.select("src", "dst", F.col("w").cast("long").alias("w")).repartition(
+        "dst" if use_bc else "src"
+    ).persist()
+    e.count()
+    scores = verts.select("id", F.lit(1).cast("long").alias("p"))
+    for _ in range(iters):
+        contrib = (
+            e.join(
+                F.broadcast(scores) if use_bc else scores,
+                e.src == F.col("id"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("p")).alias("s"))
+        )
+        scores = (
+            verts.join(contrib.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                F.coalesce("s", F.lit(0).cast("long")).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    total = scores.agg(F.sum("p").alias("t")).first()["t"] or 1
+    e.unpersist()
+    verts.unpersist()
+    return scores.select(
+        "id",
+        F.col("p").alias(f"paths{iters}"),
+        F.round(F.col("p").cast("double") / F.lit(float(total)), 9).alias(
+            "eigenvector"
+        ),
+    )

@@ -287,3 +287,114 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         ).alias("assortativity"),
         F.count("*").alias("n_edges"),
     )
+
+
+def resource_allocation_topk(
+    edges: DataFrame,
+    k: int = 100,
+    max_pivot_degree: int | None = None,
+) -> DataFrame:
+    """Common-neighbor pairs with their Resource-Allocation score
+    ra = Σ_{u ∈ CN(a,b)} 1/deg(u) (Zhou–Lü–Zhang 2009) — Adamic-Adar's
+    harder-discounting sibling (1/deg instead of 1/ln deg), the
+    strongest of the classic local link-prediction indices on dense
+    web-like graphs. Returns (a, b, common_neighbors, ra_score) ranked
+    by the INTEGER key (common_neighbors desc, a, b) — the
+    engine-portable ordering contract of adamic_adar_topk; ra_score
+    rounded to 6.
+
+    Identical wedge plan and hub-cap semantics to adamic_adar_topk
+    (the pivot degree rides the wedge row; the score is one extra
+    map-side-combined SUM in the same shuffle; with
+    ``max_pivot_degree`` both count and score are lower-bound
+    approximations and the oracle twin applies the same cut).
+
+    Reference analog: none (the reference is Louvain-only) — a
+    link-graph companion on the shared edge-table contract.
+    """
+    sym = _simple_undirected(edges)
+    pd = sym.groupBy(F.col("src").alias("u")).agg(F.count("*").alias("pdeg"))
+    if max_pivot_degree is not None:
+        pd = pd.where(F.col("pdeg") <= max_pivot_degree)
+    piv = sym.join(pd, sym.src == pd.u).select(
+        F.col("u"), F.col("dst"), F.col("pdeg")
+    )
+    left = piv.select("u", F.col("dst").alias("a"), "pdeg")
+    right = piv.select("u", F.col("dst").alias("b"))
+    return (
+        left.join(right, "u")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.round(F.sum(1.0 / F.col("pdeg")), 6).alias("ra_score"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(), F.col("a").asc(), F.col("b").asc()
+        )
+        .limit(k)
+    )
+
+
+def preferential_attachment_topk(
+    edges: DataFrame,
+    k: int = 100,
+    max_pivot_degree: int | None = None,
+) -> DataFrame:
+    """Preferential-attachment score pa = deg(a)·deg(b) for the top-k
+    common-neighbor pairs — the growth-model baseline of the local
+    link-prediction family (Barabási–Albert attachment kernel).
+    Returns (a, b, common_neighbors, pa_score) with a < b, ranked by
+    (common_neighbors desc, a, b); pa_score is an exact BIGINT product
+    of two exact degrees, so the cross-engine check needs NO float
+    tolerance anywhere in this query.
+
+    Plan: the jaccard_topk shape — wedge aggregation + top-k cut FIRST,
+    then two degree joins that touch only the k result rows' endpoints
+    (degrees always from the FULL graph; only the candidate wedge
+    enumeration honors ``max_pivot_degree``, same cap semantics as the
+    siblings).
+    """
+    sym = _simple_undirected(edges)
+    piv = sym
+    if max_pivot_degree is not None:
+        pdeg = sym.groupBy(F.col("src").alias("u")).agg(
+            F.count("*").alias("pdeg")
+        )
+        piv = (
+            sym.join(
+                pdeg.where(F.col("pdeg") <= max_pivot_degree),
+                sym.src == pdeg.u,
+            )
+            .select("src", "dst")
+        )
+    left = piv.select(F.col("src").alias("u"), F.col("dst").alias("a"))
+    right = piv.select(F.col("src").alias("u"), F.col("dst").alias("b"))
+    pairs = (
+        left.join(right, "u")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common_neighbors"))
+        .orderBy(
+            F.col("common_neighbors").desc(), F.col("a").asc(), F.col("b").asc()
+        )
+        .limit(k)
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("deg")
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("degb"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            (F.col("dega") * F.col("degb")).cast("long").alias("pa_score"),
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(), F.col("a").asc(), F.col("b").asc()
+        )
+    )

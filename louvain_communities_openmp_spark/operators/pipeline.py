@@ -462,3 +462,83 @@ def corpus_profile(
             "p95_chars",
         )
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    term set — the retrieval-scoring primitive of a web corpus (and
+    the ranking half of a RAG data pipeline). Returns one row per
+    document matching ≥1 query term: (doc_id, n_terms_matched, bm25)
+    with bm25 = Σ_{t ∈ Q ∩ doc} idf(t)·tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)), idf(t) = ln(1 + (N − df + 0.5) /
+    (df + 0.5)) (the Robertson–Spärck Jones smoothed form), rounded
+    to 6. No float-ordered top-k cut: the row SET is the exact set of
+    matching docs, engine-portable by construction.
+
+    Cross-engine float contract: N, df, tf, dl are exact integers;
+    avgdl is one division of two exact integers; each per-term score
+    is the same scalar expression tree on both engines; only the ≤|Q|
+    per-doc term-sum is order-sensitive (the aa_score discipline).
+
+    Scale shape: one explode filtered to the |Q| query terms BEFORE
+    the (doc, term) count shuffle — the exchanged volume is matches
+    only, not the corpus token stream; df/avgdl/N are scalar-or-|Q|-
+    sized aggregates broadcast into the scoring join; dl comes from a
+    pure-Catalyst token_count column, no second explode.
+    """
+    terms = sorted(set(query_terms))
+    base = docs.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("toks"),
+    ).where(F.size("toks") > 0)
+    base = base.persist()
+    stats = base.agg(
+        F.count("*").alias("n"), F.sum(F.size("toks")).alias("total_len")
+    ).first()
+    n_docs, avgdl = stats["n"], stats["total_len"] / float(stats["n"])
+    tf = (
+        base.select(
+            id_col,
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("token"),
+        )
+        .where(F.col("token").isin(terms))
+        .groupBy(id_col, "token", "dl")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    per_term = tf.join(F.broadcast(df_t), "token").select(
+        id_col,
+        (
+            idf
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                )
+            )
+        ).alias("score"),
+    )
+    out = per_term.groupBy(id_col).agg(
+        F.count("*").alias("n_terms_matched"),
+        F.round(F.sum("score"), 6).alias("bm25"),
+    )
+    # base stays persisted until the caller's action: the returned
+    # plan reads it once for tf (stats were already collected), and
+    # the cache is doc-sized — reclaimed by the context cleaner.
+    return out

@@ -150,6 +150,27 @@ def main() -> None:
             " partial agg.",
             qs["g_mis3"],
         ),
+        (
+            "g_pref_attach100 — preferential attachment on top-k CN pairs",
+            "Wedge self-join + TakeOrderedAndProject top-100 cut FIRST;"
+            " the two degree joins below it broadcast onto the 100"
+            " result rows, never the wedge table.",
+            qs["g_pref_attach100"],
+        ),
+        (
+            "g_eigen4 — integer eigenvector power iterate",
+            "Rounds checkpointed (katz shape: dst-partitioned static"
+            " edges + broadcast scores); visible plan is the final"
+            " vertex-sized normalization projection.",
+            qs["g_eigen4"],
+        ),
+        (
+            "d_bm25 — Okapi BM25 against a fixed query set",
+            "The IN-list term filter sits in the scan-side codegen"
+            " BEFORE the (doc, term) aggregate exchange; df join is"
+            " broadcast (|Q| rows).",
+            qs["d_bm25"],
+        ),
     ]
     out = [
         "# PLANS — captured physical plans (sf0.01, local[8])",

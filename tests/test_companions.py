@@ -550,3 +550,154 @@ def test_sssp_fixed_rounds_matches_bellman_ford(spark):
             assert math.isclose(got[k], want[k], abs_tol=1e-9), (rounds, k)
     # the hop/weight divergence actually exercised
     assert got[(0, 4)] == 3.0  # 3-hop detour beat the direct w=10 edge
+
+
+def test_resource_allocation(spark):
+    from louvain_communities_openmp_spark.operators.linkpred import (
+        resource_allocation_topk,
+    )
+
+    # same fixture as test_adamic_adar: pivots 0 (deg 4) and 5 (deg 2)
+    und = [(0, 1), (0, 2), (0, 3), (0, 4), (5, 1), (5, 2)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    rows = resource_allocation_topk(e, k=100).collect()
+    # ra(0,5) via pivots 1,2 (deg 2 each) = 1/2 + 1/2
+    assert (rows[0]["a"], rows[0]["b"]) == (0, 5)
+    assert abs(rows[0]["ra_score"] - 1.0) < 1e-9
+    # ra(1,2) via pivots 0 (deg 4) and 5 (deg 2) = 1/4 + 1/2
+    top = rows[1]
+    assert (top["a"], top["b"]) == (1, 2) and top["common_neighbors"] == 2
+    assert abs(top["ra_score"] - 0.75) < 1e-9
+    one = {
+        (r["a"], r["b"]): r["ra_score"]
+        for r in rows
+        if r["common_neighbors"] == 1
+    }
+    assert abs(one[(3, 4)] - 0.25) < 1e-9  # pivot 0, deg 4
+
+
+def test_preferential_attachment(spark):
+    from louvain_communities_openmp_spark.operators.linkpred import (
+        preferential_attachment_topk,
+    )
+
+    und = [(0, 1), (0, 2), (0, 3), (0, 4), (5, 1), (5, 2)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    rows = {
+        (r["a"], r["b"]): r
+        for r in preferential_attachment_topk(e, k=100).collect()
+    }
+    # degrees: 0->4, 1->2, 2->2, 3->1, 4->1, 5->2
+    assert rows[(1, 2)]["pa_score"] == 4  # 2*2, cn=2
+    assert rows[(0, 5)]["pa_score"] == 8  # 4*2, cn=2
+    assert rows[(3, 4)]["pa_score"] == 1  # 1*1, cn=1 via hub 0
+    # exact long, never float
+    assert all(isinstance(r["pa_score"], int) for r in rows.values())
+
+
+def test_closeness_per_source(spark):
+    from louvain_communities_openmp_spark.operators.centrality import (
+        closeness_per_source,
+    )
+
+    # undirected path 0-1-2-3-4; pivots {0, 1}
+    und = [(i, i + 1) for i in range(4)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    got = {
+        r["s"]: r for r in closeness_per_source(e, n_sources=2).collect()
+    }
+    # from 0: dists 0,1,2,3,4 -> n=5, sum=10, closeness 4/10
+    assert got[0]["n_reached"] == 5 and got[0]["sum_dist"] == 10
+    assert abs(got[0]["closeness"] - 0.4) < 1e-9
+    # from 1: dists 1,0,1,2,3 -> n=5, sum=7, closeness 4/7
+    assert got[1]["n_reached"] == 5 and got[1]["sum_dist"] == 7
+    assert abs(got[1]["closeness"] - round(4 / 7, 6)) < 1e-9
+
+
+def test_closeness_isolated_pivot_zero(spark):
+    from louvain_communities_openmp_spark.operators.centrality import (
+        closeness_per_source,
+    )
+
+    # pivot 0 is a self-loop island (reaches only itself, sum_dist 0);
+    # the try_divide guard must yield 0.0, not a DIVIDE_BY_ZERO
+    und = [(0, 0), (1, 2), (2, 3)]
+    e = spark.createDataFrame(
+        [(s, d, 1.0) for a, b in und for s, d in ((a, b), (b, a))],
+        "src long, dst long, w double",
+    )
+    got = {
+        r["s"]: r for r in closeness_per_source(e, n_sources=2).collect()
+    }
+    assert got[0]["n_reached"] == 1 and got[0]["closeness"] == 0.0
+    assert abs(got[1]["closeness"] - round(2 / 3, 6)) < 1e-9
+
+
+def test_eigenvector_fixed_path_counts(spark):
+    from louvain_communities_openmp_spark.operators.centrality import (
+        eigenvector_fixed,
+    )
+
+    # directed triangle 0->1->2->0 plus a feeder 3->1 (deg-0 in-vertex
+    # 3 decays to 0 paths once t exceeds its in-reach)
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (3, 1, 1.0)],
+        "src long, dst long, w double",
+    )
+    res = {r["id"]: r for r in eigenvector_fixed(e, iters=2).collect()}
+    # p1: in-sums of p0=1 -> 0:1, 1:2 (from 0 and 3), 2:1, 3:0
+    # p2: 0: p1(2)=1, 1: p1(0)+p1(3)=1, 2: p1(1)=2, 3: 0
+    assert {v: res[v]["paths2"] for v in res} == {0: 1, 1: 1, 2: 2, 3: 0}
+    total = 4.0
+    for v, p in ((0, 1), (1, 1), (2, 2), (3, 0)):
+        assert abs(res[v]["eigenvector"] - round(p / total, 9)) < 1e-12
+    # weighted: doubling an edge weight doubles the paths through it
+    e2 = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 2, 1.0), (2, 0, 1.0), (3, 1, 1.0)],
+        "src long, dst long, w double",
+    )
+    res2 = {r["id"]: r["paths2"] for r in eigenvector_fixed(e2, iters=2).collect()}
+    assert res2[2] == 3  # w(0->1)*p1(0) + w(3->1)*p1(3) routed: 2*1 + 1*0... via 1
+
+
+def test_bm25_scores(spark):
+    import math
+
+    from louvain_communities_openmp_spark.operators.pipeline import (
+        bm25_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "join join hash"),
+            (1, "hash scan scan scan"),
+            (2, "scan scan"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in bm25_scores(docs, ["join", "hash"], k1=1.2, b=0.75).collect()
+    }
+    # doc 2 matches nothing -> absent
+    assert set(got) == {0, 1}
+    n, avgdl = 3, 9 / 3.0
+    def idf(df):
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def term(tf, dl):
+        return tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    exp0 = idf(1) * term(2, 3) + idf(2) * term(1, 3)
+    exp1 = idf(2) * term(1, 4)
+    assert got[0]["n_terms_matched"] == 2
+    assert abs(got[0]["bm25"] - round(exp0, 6)) < 1e-9
+    assert got[1]["n_terms_matched"] == 1
+    assert abs(got[1]["bm25"] - round(exp1, 6)) < 1e-9
