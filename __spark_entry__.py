@@ -1744,6 +1744,28 @@ def _q_eigen4(spark, sf):
     return eigenvector_fixed(coorder_edges(spark, sf), iters=4)
 
 
+def _q_host_pagerank3(spark, sf):
+    """Host-level PageRank: contract the page graph to the 64-host
+    graph (webstructure.host_contract — the groupBy-community
+    contraction applied to a fixed partition), then run the standard
+    fixed-3-iteration PageRank on the contracted weighted edges. The
+    domain-ranking composition every web pipeline runs; the contracted
+    graph is 64 vertices, so every downstream join broadcasts."""
+    from louvain_communities_openmp_spark.operators.pagerank import (
+        pagerank_fixed,
+    )
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        host_contract,
+    )
+
+    h = host_contract(coorder_edges(spark, sf), n_hosts=64).select(
+        F.col("hsrc").alias("src"),
+        F.col("hdst").alias("dst"),
+        F.col("weight").alias("w"),
+    )
+    return pagerank_fixed(h, alpha=0.85, iters=3)
+
+
 _BM25_TERMS = ("filter", "hash", "join", "merge", "slow")
 
 
@@ -1872,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pref_attach100": _q_pref_attach,
         "g_closeness8": _q_closeness,
         "g_eigen4": _q_eigen4,
+        "g_host_pagerank3": _q_host_pagerank3,
         "d_bm25": _q_bm25,
     }
 
@@ -2297,10 +2320,23 @@ SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE EXISTS (
     )
 
 
-def _pagerank3_sql(alpha: float = 0.85, iters: int = 3) -> str:
-    ctes = [
-        _EDGES_CTE.strip(),
-        "vt AS (SELECT src AS id, sum(w) AS vtot FROM edges GROUP BY src)",
+def _pagerank3_sql(
+    alpha: float = 0.85, iters: int = 3, contract_hosts: int | None = None
+) -> str:
+    """Unrolled fixed-iteration PageRank twin; with ``contract_hosts``
+    the walk runs on the host-contracted graph (src%n → dst%n, weights
+    summed — exact: integer-valued doubles) instead of the page graph."""
+    tbl = "edges"
+    ctes = [_EDGES_CTE.strip()]
+    if contract_hosts is not None:
+        tbl = "hedges"
+        ctes.append(
+            f"hedges AS (SELECT CAST(src % {contract_hosts} AS BIGINT) AS src,"
+            f" CAST(dst % {contract_hosts} AS BIGINT) AS dst, sum(w) AS w"
+            " FROM edges GROUP BY 1, 2)"
+        )
+    ctes += [
+        f"vt AS (SELECT src AS id, sum(w) AS vtot FROM {tbl} GROUP BY src)",
         "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM vt)",
         "r0 AS (SELECT id, 1.0/nv.n AS rank FROM vt, nv)",
     ]
@@ -2312,7 +2348,7 @@ r{t + 1} AS (
   FROM vt v CROSS JOIN nv
   LEFT JOIN (
     SELECT e.dst AS id, sum(r.rank * e.w / v2.vtot) AS s
-    FROM edges e JOIN r{t} r ON e.src = r.id JOIN vt v2 ON e.src = v2.id
+    FROM {tbl} e JOIN r{t} r ON e.src = r.id JOIN vt v2 ON e.src = v2.id
     GROUP BY e.dst
   ) c ON v.id = c.id
 )""")
@@ -4030,6 +4066,9 @@ ORDER BY common_neighbors DESC, a, b"""
     )
     out["g_closeness8"] = _closeness_sql(n_sources=8, rounds=12)
     out["g_eigen4"] = _eigen4_sql(iters=4)
+    out["g_host_pagerank3"] = _pagerank3_sql(
+        alpha=0.85, iters=3, contract_hosts=64
+    )
     terms_sql = ", ".join(f"'{t}'" for t in sorted(set(_BM25_TERMS)))
     out["d_bm25"] = f"""
 WITH base AS (

@@ -242,3 +242,33 @@ def test_effective_diameter_tracks_exact(spark):
     assert abs(eff - exact_eff) <= 1.0
     # totals are monotone non-decreasing (sketch union property)
     assert all(b >= a * 0.999 for a, b in zip(totals, totals[1:]))
+
+
+def test_host_pagerank_composition(spark):
+    from louvain_communities_openmp_spark.operators.pagerank import (
+        pagerank_fixed,
+    )
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        host_contract,
+    )
+    from pyspark.sql import functions as F
+
+    # 4 pages, hosts = id % 2: {0,2} and {1,3}
+    e = spark.createDataFrame(
+        [(0, 1, 2.0), (1, 0, 2.0), (2, 3, 1.0), (3, 2, 1.0), (0, 2, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    h = host_contract(e, n_hosts=2).select(
+        F.col("hsrc").alias("src"),
+        F.col("hdst").alias("dst"),
+        F.col("weight").alias("w"),
+    )
+    got = {r["id"]: r["rank"] for r in pagerank_fixed(h, iters=3).collect()}
+    # contracted: 0->1 w2, 1->0 w2, 0->0 w2 (0->2,2->0), 0->1 w1(2->3), 1->0 w1(3->2)
+    manual = spark.createDataFrame(
+        [(0, 1, 3.0), (1, 0, 3.0), (0, 0, 2.0)],
+        "src long, dst long, w double",
+    )
+    exp = {r["id"]: r["rank"] for r in pagerank_fixed(manual, iters=3).collect()}
+    assert got == exp
+    assert abs(sum(got.values()) - 1.0) < 1e-5
