@@ -1781,6 +1781,103 @@ def _q_bm25(spark, sf):
     return bm25_scores(_docs(spark, sf), list(_BM25_TERMS))
 
 
+def _q_spam_mass3(spark, sf):
+    """TrustRank spam mass (Gyongyi/Garcia-Molina/Pedersen): rank every
+    page by standard PageRank, re-rank with the teleport vector
+    confined to a trusted seed set (ids ≡ 0 mod 100 — the same seeds
+    as g_ppr3), and report spam_mass = (PR − TR)/PR — the fraction of
+    a page's rank that does NOT flow from trusted pages, the classic
+    web-spam demotion signal. Pure composition of the two verified
+    kernels: both emit 7dp-rounded DOUBLEs, so the arithmetic on the
+    joined rows is bit-identical across engines; the join is
+    vertex-sized on both sides."""
+    from louvain_communities_openmp_spark.operators.pagerank import (
+        pagerank_fixed,
+        personalized_pagerank_fixed,
+    )
+
+    e = coorder_edges(spark, sf)
+    seeds = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .where(F.col("id") % 100 == 0)
+    )
+    pr = pagerank_fixed(e, alpha=0.85, iters=3).withColumnRenamed(
+        "rank", "pr_rank"
+    )
+    tr = personalized_pagerank_fixed(
+        e, seeds, alpha=0.85, iters=3
+    ).withColumnRenamed("rank", "trust_rank")
+    return pr.join(tr, "id").select(
+        "id",
+        "pr_rank",
+        "trust_rank",
+        F.round(
+            (F.col("pr_rank") - F.col("trust_rank")) / F.col("pr_rank"), 7
+        ).alias("spam_mass"),
+    )
+
+
+def _q_crawl_schedule(spark, sf):
+    """Recrawl scheduling — the composition every crawler runs: dedupe
+    the multi-capture crawl index to the freshest snapshot per url
+    (latest_snapshot: ONE map-side-combined max(struct) agg), compute
+    host authority as fixed-3-iter PageRank on the 16-host contracted
+    graph, and set priority = host_rank · staleness_seconds (stale,
+    authoritative hosts first). The host-rank side is 16 rows —
+    broadcast; the "now" anchor is the global max capture ts
+    (deterministic, no wall clock); staleness is integer seconds so
+    the priority product is engine-identical on the 7dp-rounded rank."""
+    from louvain_communities_openmp_spark.operators.pagerank import (
+        pagerank_fixed,
+    )
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        host_contract,
+    )
+    from louvain_communities_openmp_spark.sources.pages import (
+        latest_snapshot,
+        make_captures,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id")
+    latest = latest_snapshot(
+        make_captures(docs, "doc_id", n_captures=3)
+    ).withColumn(
+        "host",
+        F.regexp_extract("url", r"https://host(\d+)\.example/", 1).cast(
+            "long"
+        ),
+    )
+    hr = pagerank_fixed(
+        host_contract(coorder_edges(spark, sf), n_hosts=16).select(
+            F.col("hsrc").alias("src"),
+            F.col("hdst").alias("dst"),
+            F.col("weight").alias("w"),
+        ),
+        alpha=0.85,
+        iters=3,
+    ).withColumnRenamed("id", "host")
+    now = latest.agg(F.max("warc_ts").alias("now_ts"))
+    return (
+        latest.crossJoin(F.broadcast(now))
+        .withColumn(
+            "stale_s",
+            (
+                F.unix_timestamp("now_ts") - F.unix_timestamp("warc_ts")
+            ).cast("long"),
+        )
+        .join(F.broadcast(hr), "host")
+        .select(
+            "url",
+            F.col("host").cast("long").alias("host"),
+            "stale_s",
+            F.col("rank").alias("host_rank"),
+            F.round(F.col("rank") * F.col("stale_s"), 6).alias("priority"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "g_edges": _q_edges,
@@ -1805,7 +1902,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_scc_dag": _q_scc_dag,
         "g_bowtie": _q_bowtie,
         "g_reciprocity": _q_reciprocity,
-        "g_assortativity": _q_assortativity,
         "g_cocitation100": _q_cocitation,
         "g_bibcoupling100": _q_bibcoupling,
         "g_salsa4": _q_salsa4,
@@ -1896,6 +1992,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_eigen4": _q_eigen4,
         "g_host_pagerank3": _q_host_pagerank3,
         "d_bm25": _q_bm25,
+        "g_spam_mass3": _q_spam_mass3,
+        "p_crawl_schedule": _q_crawl_schedule,
     }
 
 
@@ -2975,36 +3073,6 @@ FROM dedges e LEFT JOIN (SELECT DISTINCT src, dst FROM dedges) rev
     )
 
 
-def _assortativity_sql() -> str:
-    """Same closed form as the engine: exact integer sums cast to
-    double, then one shared IEEE expression tree — bit-identical
-    across engines (sums < 2^53 are exact; each subsequent op is a
-    deterministic IEEE-754 double op on identical operands)."""
-    return (
-        "WITH "
-        + _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED (")
-        + """,
-deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
-j AS (
-  SELECT dx.deg AS x, dy.deg AS y
-  FROM edges e JOIN deg dx ON e.src = dx.id JOIN deg dy ON e.dst = dy.id
-),
-s AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n,
-         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-         CAST(sum(x * y) AS DOUBLE) AS sxy,
-         CAST(sum(x * x) AS DOUBLE) AS sxx,
-         CAST(sum(y * y) AS DOUBLE) AS syy
-  FROM j
-)
-SELECT CAST(n AS BIGINT) AS n_edges,
-       round((n * sxy - sx * sy)
-             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-         AS assortativity
-FROM s"""
-    )
-
-
 def _labelprop_sql(rounds: int = 4) -> str:
     """Synchronous weighted label propagation, unrolled: per round each
     vertex takes argmax_label sum(w) over neighbors, tie-break min
@@ -3248,7 +3316,6 @@ p2 AS (SELECT DISTINCT v, u FROM (
   UNION ALL
   SELECT p.v, s.dst AS u FROM p1 p JOIN sym s ON p.u = s.src))
 SELECT v AS id, count(*) AS reach FROM p2 GROUP BY v""",
-        "g_assortativity": _assortativity_sql(),
         "g_labelprop": _labelprop_sql(),
         "g_bfs_hops": _bfs_sql(),
         "g_disconnected_mod64": _disconnected_sql(),
@@ -4095,6 +4162,35 @@ per AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
        round(sum(score), 6) AS bm25
 FROM per GROUP BY doc_id"""
+    out["g_spam_mass3"] = f"""
+WITH pr AS ({_pagerank3_sql(alpha=0.85, iters=3)}),
+tr AS ({_ppr3_sql(alpha=0.85, iters=3)})
+SELECT pr.id, pr.rank AS pr_rank, tr.rank AS trust_rank,
+       round((pr.rank - tr.rank) / pr.rank, 7) AS spam_mass
+FROM pr JOIN tr ON pr.id = tr.id"""
+    out["p_crawl_schedule"] = f"""
+WITH hr AS ({_pagerank3_sql(alpha=0.85, iters=3, contract_hosts=16)}),
+caps AS (
+  SELECT 'https://host' || (doc_id % 16) || '.example/p' || doc_id AS url,
+         CAST(doc_id % 16 AS BIGINT) AS host,
+         make_timestamp(2025, 1, 1, 0, 0, 0)
+           + to_seconds((doc_id * 37 + c.capture * 7919) % 99991) AS warc_ts
+  FROM documents, (VALUES (0), (1), (2)) c(capture)
+),
+latest AS (
+  SELECT url, host, warc_ts
+  FROM (SELECT *, row_number() OVER (PARTITION BY url
+                                     ORDER BY warc_ts DESC) AS rn
+        FROM caps)
+  WHERE rn = 1
+),
+nowt AS (SELECT max(warc_ts) AS now_ts FROM latest)
+SELECT l.url, l.host,
+       CAST(date_diff('second', l.warc_ts, n.now_ts) AS BIGINT) AS stale_s,
+       h.rank AS host_rank,
+       round(h.rank * CAST(date_diff('second', l.warc_ts, n.now_ts)
+                           AS BIGINT), 6) AS priority
+FROM latest l CROSS JOIN nowt n JOIN hr h ON h.id = l.host"""
     lx = _louvain_exact_sql()
     if lx is not None:
         out["g_louvain_exact"] = lx

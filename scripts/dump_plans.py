@@ -165,6 +165,14 @@ def main() -> None:
             qs["g_eigen4"],
         ),
         (
+            "p_crawl_schedule — freshness × host-authority recrawl priority",
+            "latest-capture max(struct) partial agg (no Window), 1-row"
+            " now-anchor and 16-row host-rank sides both"
+            " BroadcastExchange — the priority join never shuffles the"
+            " url table.",
+            qs["p_crawl_schedule"],
+        ),
+        (
             "d_bm25 — Okapi BM25 against a fixed query set",
             "The IN-list term filter sits in the scan-side codegen"
             " BEFORE the (doc, term) aggregate exchange; df join is"
