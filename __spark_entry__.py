@@ -1781,6 +1781,25 @@ def _q_bm25(spark, sf):
     return bm25_scores(_docs(spark, sf), list(_BM25_TERMS))
 
 
+def _q_pagerank_dangling3(spark, sf):
+    """Dangling-aware PageRank, 3 fixed iterations, on the md5-sampled
+    DIRECTED purchase-sequence graph (g_scc's bow-tie fixture): sink
+    vertices (the OUT periphery) re-spread their rank uniformly every
+    iteration, keeping total mass exactly 1 — the variant every
+    directed web graph needs (pagerank_fixed / g_pagerank3 assume a
+    sink-free symmetric graph where the dangling term is zero). The
+    DuckDB twin unrolls the identical recurrence with a per-iteration
+    dangling-mass scalar CTE."""
+    from louvain_communities_openmp_spark.operators.pagerank import (
+        pagerank_dangling_fixed,
+    )
+    from louvain_communities_openmp_spark.sources.edges import sequence_edges
+
+    return pagerank_dangling_fixed(
+        sequence_edges(spark, sf, thr="0a"), alpha=0.85, iters=3
+    )
+
+
 def _q_spam_mass3(spark, sf):
     """TrustRank spam mass (Gyongyi/Garcia-Molina/Pedersen): rank every
     page by standard PageRank, re-rank with the teleport vector
@@ -1893,6 +1912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangle_total": _q_triangle_total,
         "g_triangles_per_vertex": _q_triangles_per_vertex,
         "g_pagerank3": _q_pagerank3,
+        "g_pagerank_dangling3": _q_pagerank_dangling3,
         "g_hits4": _q_hits4,
         "g_ktruss8": _q_ktruss8,
         "g_betweenness8": _q_betweenness8,
@@ -2447,6 +2467,48 @@ r{t + 1} AS (
   LEFT JOIN (
     SELECT e.dst AS id, sum(r.rank * e.w / v2.vtot) AS s
     FROM {tbl} e JOIN r{t} r ON e.src = r.id JOIN vt v2 ON e.src = v2.id
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, round(rank, 7) AS rank FROM r{iters}"
+    )
+
+
+def _pagerank_dangling3_sql(
+    alpha: float = 0.85, iters: int = 3, thr: str = "0a"
+) -> str:
+    """Unrolled dangling-aware PageRank twin on the directed
+    purchase-sequence graph: a per-iteration scalar CTE d{t} holds the
+    rank mass sitting on out-degree-0 vertices, folded into the next
+    base term — same recurrence as operators.pagerank.pagerank_seq
+    truncated at `iters` (left-to-right addition matches the Spark
+    side's base-then-contribution association exactly)."""
+    ctes = [
+        _sequence_cte(thr),
+        "verts AS (SELECT src AS id FROM dedges"
+        " UNION SELECT dst FROM dedges)",
+        "vt AS (SELECT src AS id, sum(w) AS vtot FROM dedges GROUP BY src)",
+        "nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts)",
+        "r0 AS (SELECT id, 1.0/nv.n AS rank FROM verts, nv)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"d{t} AS (SELECT coalesce(sum(r.rank), 0.0) AS d"
+            f" FROM r{t} r LEFT JOIN vt ON r.id = vt.id"
+            " WHERE vt.id IS NULL)"
+        )
+        ctes.append(f"""
+r{t + 1} AS (
+  SELECT v.id,
+         (1.0 - {alpha})/nv.n + {alpha} * d{t}.d / nv.n
+           + {alpha} * coalesce(c.s, 0.0) AS rank
+  FROM verts v CROSS JOIN nv CROSS JOIN d{t}
+  LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank * e.w / v2.vtot) AS s
+    FROM dedges e JOIN r{t} r ON e.src = r.id JOIN vt v2 ON e.src = v2.id
     GROUP BY e.dst
   ) c ON v.id = c.id
 )""")
@@ -3242,6 +3304,7 @@ cnt AS (
 )
 SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id = cnt.id""",
         "g_pagerank3": _pagerank3_sql(),
+        "g_pagerank_dangling3": _pagerank_dangling3_sql(),
         "g_hits4": _hits4_sql(),
         "g_ktruss8": _ktruss_sql(k=8, rounds=4),
         "g_betweenness8": _betweenness_sql(n_sources=8, depth=8),

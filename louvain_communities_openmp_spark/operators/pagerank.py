@@ -231,3 +231,82 @@ def personalized_pagerank_fixed(
             ).alias("rank"),
         )
     return ranks.select("id", F.round("rank", 7).alias("rank"))
+
+
+def pagerank_dangling_fixed(
+    edges: DataFrame, alpha: float = 0.85, iters: int = 3
+) -> DataFrame:
+    """Fixed-iteration PageRank WITH dangling-mass redistribution — the
+    directed-web variant of pagerank_fixed for graphs that have sinks
+    (the bow-tie OUT periphery): each iteration the rank sitting on
+    out-degree-0 vertices is re-spread uniformly, so total mass stays
+    exactly 1 — the same recurrence as the converging `pagerank` above
+    (= oracle.simple.pagerank_seq), truncated at `iters` so the
+    computation unrolls to ANSI SQL for cross-engine verification.
+    Returns (id, rank) rounded to 7dp.
+
+    Scale shape matches `pagerank`: the normalized transition table is
+    partitioned once on the join (or aggregation) key; each iteration
+    is one join + one map-side-combined aggregation, plus ONE scalar
+    aggregate over the vertex-sized rank frame for the dangling mass
+    (an 8-byte driver round-trip, not a data collect). Rank frames are
+    eagerly localCheckpoint-ed so the dangling aggregate and the next
+    iteration share one materialization instead of forking lineage.
+    """
+    verts = vertices(edges).persist()
+    n = verts.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], "id long, rank double")
+    vt = vertex_weights(edges)
+    use_bc = n <= 5_000_000
+    trans = (
+        edges.join(vt.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.col("w") / F.col("vtot")).alias("p"))
+        .repartition("dst" if use_bc else "src")
+        .persist()
+    )
+    has_out = (
+        trans.select("src").distinct()
+        .withColumnRenamed("src", "id")
+        .withColumn("_h", F.lit(True))
+        .persist()
+    )
+    dangling = (n - has_out.count()) / n
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).localCheckpoint(
+        eager=True
+    )
+    for it in range(iters):
+        rs = ranks.withColumnRenamed("id", "src")
+        contrib = (
+            trans.join(F.broadcast(rs) if use_bc else rs, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("c"))
+        )
+        base = (1.0 - alpha) / n + alpha * dangling / n
+        ranks = (
+            verts.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base) + F.lit(alpha) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if it < iters - 1:
+            dangling = float(
+                ranks.join(has_out, "id", "left")
+                .agg(
+                    F.sum(
+                        F.when(F.col("_h").isNull(), F.col("rank")).otherwise(
+                            0.0
+                        )
+                    )
+                )
+                .first()[0]
+                or 0.0
+            )
+    trans.unpersist()
+    has_out.unpersist()
+    verts.unpersist()
+    return ranks.select("id", F.round("rank", 7).alias("rank"))

@@ -46,6 +46,36 @@ def test_pagerank_allclose_powerlaw(spark):
         assert math.isclose(got[i], r, abs_tol=1e-9), i
 
 
+def test_pagerank_dangling_fixed_matches_oracle(spark):
+    # DIRECTED graph with sinks (3 and 4 have no out-edges): the
+    # fixed-iteration kernel must match the dangling-redistributing
+    # oracle trajectory and conserve total mass 1 (without the
+    # dangling term the sum would leak 15% of sink mass per round)
+    from louvain_communities_openmp_spark.operators.pagerank import (
+        pagerank_dangling_fixed,
+    )
+
+    g = [
+        (0, 1, 1.0),
+        (0, 2, 2.0),
+        (1, 2, 1.0),
+        (2, 3, 1.0),
+        (1, 4, 3.0),
+        (0, 3, 1.0),
+    ]
+    want, _ = pagerank_seq(adjacency(g, n=5), alpha=0.85, tol=0.0, max_iter=3)
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank_dangling_fixed(
+            edges_from_list(spark, g), alpha=0.85, iters=3
+        ).collect()
+    }
+    assert len(got) == 5
+    for i, r in enumerate(want):
+        assert math.isclose(got[i], r, abs_tol=2e-7), i
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-6)
+
+
 def test_components_exact(spark):
     from louvain_communities_openmp_spark.oracle.graphs import disconnected
 
