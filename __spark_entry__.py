@@ -1800,6 +1800,33 @@ def _q_pagerank_dangling3(spark, sf):
     )
 
 
+def _q_partition_nmi(spark, sf):
+    """Partition-agreement metrics — symmetric NMI (2·MI/(H(A)+H(B)),
+    natural log) and Adjusted Rand Index — between the SCC membership
+    of the sampled directed purchase-sequence graph and the 64-bucket
+    id-hash partition (id % 64): the standard evaluation pair for
+    scoring a detected community structure against an external
+    labelling (operators/properties.py partition_similarity — ONE
+    contingency shuffle, everything downstream cluster-count-sized).
+    The DuckDB twin recomputes SCC via the recursive transitive
+    closure and applies the identical contingency formulas."""
+    from louvain_communities_openmp_spark.operators.properties import (
+        partition_similarity,
+    )
+    from louvain_communities_openmp_spark.operators.scc import (
+        strongly_connected_components,
+    )
+    from louvain_communities_openmp_spark.sources.edges import sequence_edges
+
+    comp = strongly_connected_components(
+        sequence_edges(spark, sf, thr="0a")
+    ).components
+    return partition_similarity(
+        comp.select("id", F.col("scc").alias("ca")),
+        comp.select("id", (F.col("id") % 64).alias("cb")),
+    )
+
+
 def _q_spam_mass3(spark, sf):
     """TrustRank spam mass (Gyongyi/Garcia-Molina/Pedersen): rank every
     page by standard PageRank, re-rank with the teleport vector
@@ -1919,6 +1946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_sssp6": _q_sssp6,
         "g_components": _q_components,
         "g_scc": _q_scc,
+        "g_partition_nmi": _q_partition_nmi,
         "g_scc_dag": _q_scc_dag,
         "g_bowtie": _q_bowtie,
         "g_reciprocity": _q_reciprocity,
@@ -3071,6 +3099,41 @@ scc AS MATERIALIZED (
 )"""
 
 
+def _partition_nmi_sql(thr: str = "0a") -> str:
+    """Contingency-table NMI + ARI twin of g_partition_nmi: SCC labels
+    from the recursive transitive closure vs the id%64 partition, then
+    the identical symmetric-NMI / Adjusted-Rand formulas."""
+    return f"""WITH RECURSIVE {_sequence_cte(thr)},{_SCC_CLOSURE},
+part AS (SELECT id, scc AS ca, id % 64 AS cb FROM scc),
+cont AS (SELECT ca, cb, CAST(count(*) AS DOUBLE) AS nij
+         FROM part GROUP BY ca, cb),
+am AS (SELECT ca, sum(nij) AS ai FROM cont GROUP BY ca),
+bm AS (SELECT cb, sum(nij) AS bj FROM cont GROUP BY cb),
+tot AS (SELECT sum(nij) AS n FROM cont),
+ha AS (SELECT sum(-(ai/tot.n)*ln(ai/tot.n)) AS h_a,
+              sum(ai*(ai-1)/2) AS pairs_a, count(*) AS n_a
+       FROM am, tot),
+hb AS (SELECT sum(-(bj/tot.n)*ln(bj/tot.n)) AS h_b,
+              sum(bj*(bj-1)/2) AS pairs_b, count(*) AS n_b
+       FROM bm, tot),
+mi AS (SELECT sum((nij/tot.n)*ln(tot.n*nij/(ai*bj))) AS mi,
+              sum(nij*(nij-1)/2) AS pairs_ab
+       FROM cont JOIN am USING (ca) JOIN bm USING (cb), tot)
+SELECT CAST(tot.n AS BIGINT) AS n_items,
+       CAST(ha.n_a AS BIGINT) AS n_a,
+       CAST(hb.n_b AS BIGINT) AS n_b,
+       round(CASE WHEN ha.h_a + hb.h_b > 0
+                  THEN 2.0*mi.mi/(ha.h_a+hb.h_b) ELSE 0.0 END, 7) AS nmi,
+       round(CASE WHEN (ha.pairs_a+hb.pairs_b)/2
+                       - ha.pairs_a*hb.pairs_b/(tot.n*(tot.n-1)/2) <> 0
+                  THEN (mi.pairs_ab
+                        - ha.pairs_a*hb.pairs_b/(tot.n*(tot.n-1)/2))
+                       / ((ha.pairs_a+hb.pairs_b)/2
+                          - ha.pairs_a*hb.pairs_b/(tot.n*(tot.n-1)/2))
+                  ELSE 0.0 END, 7) AS ari
+FROM tot, ha, hb, mi"""
+
+
 def _scc_sql(thr: str = "0a") -> str:
     """Transitive-closure SCC: v's label = min u with v →* u AND
     u →* v (self included via the closure's reflexive seed). Wholly
@@ -3311,6 +3374,7 @@ SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id 
         "g_sssp6": _sssp_sql(n_sources=4, rounds=6),
         "g_components": _components_sql(),
         "g_scc": _scc_sql(thr="0a"),
+        "g_partition_nmi": _partition_nmi_sql(thr="0a"),
         "g_scc_dag": _scc_dag_sql(thr="0a"),
         "g_bowtie": _bowtie_sql(thr="0a"),
         "g_reciprocity": _reciprocity_sql(),

@@ -151,3 +151,85 @@ def delta_modularity_col(kuc, kud, vtot_u, ctot_c, ctot_d, m: float, resolution:
     return (kuc - kud) / F.lit(m) - F.lit(resolution) * vtot_u * (
         vtot_u + ctot_c - ctot_d
     ) / F.lit(2.0 * m * m)
+
+
+def partition_similarity(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Agreement between two vertex partitions — the standard
+    community-detection evaluation pair: symmetric NMI
+    (2·MI/(H(A)+H(B)), natural log; 0 when either side is a single
+    cluster) and the Adjusted Rand Index. `a` is (id, ca), `b` is
+    (id, cb); compared over the INNER id intersection. Returns one row
+    (n_items, n_a, n_b, nmi, ari) with the floats rounded to 7dp.
+
+    Scale shape: ONE shuffle builds the contingency table
+    groupBy(ca, cb) with map-side partial counts (hub clusters
+    pre-reduce); the marginals are projections of that table, every
+    subsequent frame is cluster-count-sized, and the scalar totals
+    enter via broadcast cross joins — nothing vertex-sized leaves the
+    executors after the first aggregation."""
+    j = a.select("id", "ca").join(b.select("id", "cb"), "id")
+    cont = j.groupBy("ca", "cb").agg(
+        F.count("*").cast("double").alias("nij")
+    ).persist()
+    am = cont.groupBy("ca").agg(F.sum("nij").alias("ai"))
+    bm = cont.groupBy("cb").agg(F.sum("nij").alias("bj"))
+    tot = cont.agg(
+        F.sum("nij").alias("n"),
+        F.count("*").alias("cells"),
+    )
+    # entropies and pair-count sums are cluster-count-sized aggregates
+    ha = am.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            -(F.col("ai") / F.col("n")) * F.log(F.col("ai") / F.col("n"))
+        ).alias("h_a"),
+        F.sum(F.col("ai") * (F.col("ai") - 1) / 2).alias("pairs_a"),
+        F.count("*").alias("n_a"),
+    )
+    hb = bm.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            -(F.col("bj") / F.col("n")) * F.log(F.col("bj") / F.col("n"))
+        ).alias("h_b"),
+        F.sum(F.col("bj") * (F.col("bj") - 1) / 2).alias("pairs_b"),
+        F.count("*").alias("n_b"),
+    )
+    mi = (
+        cont.join(am, "ca")
+        .join(bm, "cb")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("nij") / F.col("n"))
+                * F.log(
+                    F.col("n") * F.col("nij") / (F.col("ai") * F.col("bj"))
+                )
+            ).alias("mi"),
+            F.sum(F.col("nij") * (F.col("nij") - 1) / 2).alias("pairs_ab"),
+        )
+    )
+    r = (
+        tot.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .crossJoin(F.broadcast(mi))
+    )
+    total_pairs = F.col("n") * (F.col("n") - 1) / 2
+    exp_pairs = F.col("pairs_a") * F.col("pairs_b") / total_pairs
+    max_pairs = (F.col("pairs_a") + F.col("pairs_b")) / 2
+    return r.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(
+            F.when(
+                F.col("h_a") + F.col("h_b") > 0,
+                2.0 * F.col("mi") / (F.col("h_a") + F.col("h_b")),
+            ).otherwise(F.lit(0.0)),
+            7,
+        ).alias("nmi"),
+        F.round(
+            F.when(
+                max_pairs - exp_pairs != 0,
+                (F.col("pairs_ab") - exp_pairs) / (max_pairs - exp_pairs),
+            ).otherwise(F.lit(0.0)),
+            7,
+        ).alias("ari"),
+    )

@@ -133,3 +133,50 @@ def test_avg_neighbor_degree_toy5(spark):
     assert rows[4]["n_vertices"] == 1
     assert rows[4]["sum_nb_deg"] == 8
     assert rows[4]["knn"] == 2.0
+
+
+def test_partition_similarity_hand_computed(spark):
+    # A = {0,1,2 | 3,4}, B = {0,1 | 2,3,4}: contingency (2,1;0,2) —
+    # NMI and ARI recomputed here from first principles
+    import math
+
+    from louvain_communities_openmp_spark.operators.properties import (
+        partition_similarity,
+    )
+
+    a = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1)], "id long, ca long"
+    )
+    b = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1), (4, 1)], "id long, cb long"
+    )
+    row = partition_similarity(a, b).collect()[0]
+    n = 5.0
+    h = -(3 / n) * math.log(3 / n) - (2 / n) * math.log(2 / n)
+    mi = (
+        (2 / n) * math.log(n * 2 / (3 * 2))
+        + (1 / n) * math.log(n * 1 / (3 * 3))
+        + (2 / n) * math.log(n * 2 / (2 * 3))
+    )
+    want_nmi = 2 * mi / (h + h)
+    # pair counts: ab = 1+0+1, a = 3+1, b = 1+3, total = C(5,2) = 10
+    exp = 4 * 4 / 10.0
+    want_ari = (2 - exp) / ((4 + 4) / 2.0 - exp)
+    assert (row["n_items"], row["n_a"], row["n_b"]) == (5, 2, 2)
+    assert math.isclose(row["nmi"], want_nmi, abs_tol=1e-6)
+    assert math.isclose(row["ari"], want_ari, abs_tol=1e-6)
+
+
+def test_partition_similarity_degenerate_single_cluster(spark):
+    # one side a single cluster: H = 0 → NMI defined as 0, ARI 0
+    from louvain_communities_openmp_spark.operators.properties import (
+        partition_similarity,
+    )
+
+    a = spark.createDataFrame([(i, 0) for i in range(4)], "id long, ca long")
+    b = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "id long, cb long"
+    )
+    row = partition_similarity(a, b).collect()[0]
+    assert row["nmi"] == 0.0
+    assert row["ari"] == 0.0
