@@ -179,6 +179,24 @@ def main() -> None:
             " broadcast (|Q| rows).",
             qs["d_bm25"],
         ),
+        (
+            "g_pagerank_dangling3 — dangling-aware PageRank (directed, sinks)",
+            "Same dual regime as pagerank; the visible plan is the final"
+            " vertex-sized base+contribution projection over the"
+            " localCheckpoint-ed rank frame — the dangling scalar entered"
+            " as a literal (one 8-byte driver round-trip per round, no"
+            " extra edge exchange).",
+            qs["g_pagerank_dangling3"],
+        ),
+        (
+            "g_partition_nmi — partition agreement (NMI + ARI)",
+            "ONE map-side-combined exchange builds the contingency table;"
+            " marginals/entropies are cluster-count-sized HashAggregates"
+            " and every scalar total enters via BroadcastNestedLoopJoin"
+            " over 1-row frames — nothing vertex-sized moves after the"
+            " first aggregation.",
+            qs["g_partition_nmi"],
+        ),
     ]
     out = [
         "# PLANS — captured physical plans (sf0.01, local[8])",
