@@ -1827,6 +1827,33 @@ def _q_partition_nmi(spark, sf):
     )
 
 
+def _q_frontier_shards(spark, sf):
+    """Crawl-frontier sharding with per-host politeness: take the
+    recrawl priorities (p_crawl_schedule), pin every host to ONE
+    worker (host-affine worker = host % 8 — per-host rate limits are
+    then enforceable locally on the owning worker, no cross-worker
+    coordination), order each host's urls by priority, and schedule
+    eta_s = (fetch_seq − 1) × 15 s — the single-connection 15-second
+    crawl-delay politeness model. The per-host row_number window is
+    scale-safe: partitionBy(host) never materializes more than one
+    host's url list per task, and a pathological mega-host would be
+    range-split by AQE on the window exchange."""
+    from pyspark.sql import Window as W
+
+    sched = _q_crawl_schedule(spark, sf)
+    seq = F.row_number().over(
+        W.partitionBy("host").orderBy(F.desc("priority"), "url")
+    )
+    return sched.select(
+        "url",
+        "host",
+        "priority",
+        (F.col("host") % 8).cast("long").alias("worker"),
+        seq.cast("long").alias("fetch_seq"),
+        ((seq - 1) * 15).cast("long").alias("eta_s"),
+    )
+
+
 def _q_spam_mass3(spark, sf):
     """TrustRank spam mass (Gyongyi/Garcia-Molina/Pedersen): rank every
     page by standard PageRank, re-rank with the teleport vector
@@ -2042,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_bm25": _q_bm25,
         "g_spam_mass3": _q_spam_mass3,
         "p_crawl_schedule": _q_crawl_schedule,
+        "p_frontier_shards": _q_frontier_shards,
     }
 
 
@@ -4318,6 +4346,17 @@ SELECT l.url, l.host,
        round(h.rank * CAST(date_diff('second', l.warc_ts, n.now_ts)
                            AS BIGINT), 6) AS priority
 FROM latest l CROSS JOIN nowt n JOIN hr h ON h.id = l.host"""
+    out["p_frontier_shards"] = f"""
+WITH sched AS ({out["p_crawl_schedule"]})
+SELECT url, host, priority,
+       CAST(host % 8 AS BIGINT) AS worker,
+       CAST(row_number() OVER (PARTITION BY host
+                               ORDER BY priority DESC, url) AS BIGINT)
+         AS fetch_seq,
+       CAST((row_number() OVER (PARTITION BY host
+                                ORDER BY priority DESC, url) - 1) * 15
+            AS BIGINT) AS eta_s
+FROM sched"""
     lx = _louvain_exact_sql()
     if lx is not None:
         out["g_louvain_exact"] = lx
