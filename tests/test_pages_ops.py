@@ -234,3 +234,25 @@ def test_capture_stream_end_to_end_files(spark, tmp_path):
     store = SnapshotStore(spark, str(tmp_path / "state"))
     got = {r["url"]: r["capture"] for r in store.load().collect()}
     assert got == {"a": 1, "b": 0, "c": 0}
+
+
+def test_frontier_shards_politeness_invariants(spark):
+    # host-affinity (one worker owns a host), dense per-host fetch_seq
+    # starting at 1, eta = (seq-1)*15, and priority non-increasing in
+    # fetch order within every host
+    import __spark_entry__ as E
+
+    rows = E.queries()["p_frontier_shards"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+        assert r["worker"] == r["host"] % 8
+        assert r["eta_s"] == (r["fetch_seq"] - 1) * 15
+    for host, hr in by_host.items():
+        hr.sort(key=lambda r: r["fetch_seq"])
+        assert [r["fetch_seq"] for r in hr] == list(range(1, len(hr) + 1))
+        pr = [r["priority"] for r in hr]
+        assert all(a >= b for a, b in zip(pr, pr[1:])), host
