@@ -189,6 +189,15 @@ def main() -> None:
             qs["g_pagerank_dangling3"],
         ),
         (
+            "p_frontier_shards — politeness-sharded crawl frontier",
+            "The recrawl-priority subtree is unchanged (broadcast"
+            " host-rank + max(struct) latest-capture agg); the new layer"
+            " is ONE Window over partitionBy(host) — exchange keyed on"
+            " the bounded host domain, per-task state bounded by a"
+            " host's url count.",
+            qs["p_frontier_shards"],
+        ),
+        (
             "g_partition_nmi — partition agreement (NMI + ARI)",
             "ONE map-side-combined exchange builds the contingency table;"
             " marginals/entropies are cluster-count-sized HashAggregates"
