@@ -1827,6 +1827,40 @@ def _q_partition_nmi(spark, sf):
     )
 
 
+def _q_ann_recall(spark, sf):
+    """Recall@10 of the LSH approximate nearest-neighbor path against
+    the exact brute-force cosine top-10, per query — THE acceptance
+    metric for any ANN deployment (how much of the true neighborhood
+    the bucketed index keeps). Pure composition of the two verified
+    kernels (e_cosine_topk, e_lsh_topk): both emit deterministic
+    tie-broken (query_id, neighbor_id) sets, so the intersection
+    count is engine-identical; the DuckDB twin nests the two kernel
+    twins as subqueries and applies the same left-join count."""
+    from louvain_communities_openmp_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = cosine_topk_bruteforce(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = cosine_topk_lsh(emb, queries, k=10).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.lit(10.0), 6
+            ).alias("recall_at_10"),
+        )
+    )
+
+
 def _q_frontier_shards(spark, sf):
     """Crawl-frontier sharding with per-host politeness: take the
     recrawl priorities (p_crawl_schedule), pin every host to ONE
@@ -2018,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_bfs_hops": _q_bfs_hops,
         "g_transpose_degrees": _q_transpose_degrees,
         "e_lsh_topk": _q_lsh_topk,
+        "e_ann_recall": _q_ann_recall,
         "e_ivf_topk": _q_ivf_topk,
         "d_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "d_dedup_clusters": _q_dedup_clusters,
@@ -4357,6 +4392,14 @@ SELECT url, host, priority,
                                 ORDER BY priority DESC, url) - 1) * 15
             AS BIGINT) AS eta_s
 FROM sched"""
+    out["e_ann_recall"] = f"""
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       round(CAST(count(a.neighbor_id) AS DOUBLE) / 10, 6) AS recall_at_10
+FROM ({out["e_cosine_topk"]}) e
+LEFT JOIN ({out["e_lsh_topk"]}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id"""
     lx = _louvain_exact_sql()
     if lx is not None:
         out["g_louvain_exact"] = lx
