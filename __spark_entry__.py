@@ -1861,6 +1861,35 @@ def _q_ann_recall(spark, sf):
     )
 
 
+def _q_ivf_recall(spark, sf):
+    """Recall@10 of the IVF coarse-index ANN path against the exact
+    brute-force cosine top-10 — the acceptance metric for the second
+    (cell-probed) index, same composition as e_ann_recall."""
+    from louvain_communities_openmp_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = cosine_topk_bruteforce(emb, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    approx = cosine_topk_ivf(emb, queries, k=10).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.lit(10.0), 6
+            ).alias("recall_at_10"),
+        )
+    )
+
+
 def _q_frontier_shards(spark, sf):
     """Crawl-frontier sharding with per-host politeness: take the
     recrawl priorities (p_crawl_schedule), pin every host to ONE
@@ -2053,6 +2082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_transpose_degrees": _q_transpose_degrees,
         "e_lsh_topk": _q_lsh_topk,
         "e_ann_recall": _q_ann_recall,
+        "e_ivf_recall": _q_ivf_recall,
         "e_ivf_topk": _q_ivf_topk,
         "d_minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "d_dedup_clusters": _q_dedup_clusters,
@@ -4398,6 +4428,14 @@ SELECT e.query_id,
        round(CAST(count(a.neighbor_id) AS DOUBLE) / 10, 6) AS recall_at_10
 FROM ({out["e_cosine_topk"]}) e
 LEFT JOIN ({out["e_lsh_topk"]}) a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id"""
+    out["e_ivf_recall"] = f"""
+SELECT e.query_id,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+       round(CAST(count(a.neighbor_id) AS DOUBLE) / 10, 6) AS recall_at_10
+FROM ({out["e_cosine_topk"]}) e
+LEFT JOIN ({out["e_ivf_topk"]}) a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id"""
     lx = _louvain_exact_sql()
