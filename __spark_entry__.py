@@ -1827,6 +1827,72 @@ def _q_partition_nmi(spark, sf):
     )
 
 
+def _q_snapshot_diff(spark, sf):
+    """Month-over-month graph churn — the web-graph evolution metric:
+    for every month whose predecessor month is also present, count the
+    distinct co-order edges ADDED (active now, not last month),
+    REMOVED (active last month, gone now) and RETAINED. One distinct
+    per-month edge set (single map-side-combined shuffle), then a
+    co-partitioned full join of the set against itself shifted one
+    month — pure integer counts, no float tolerance. At 100 TB the
+    join is (month, s, d)-keyed and both sides share the partitioning
+    of the same persisted frame."""
+    li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    o = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("s"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("d"))
+    em = (
+        a.join(b, "l_orderkey")
+        .where(F.col("s") < F.col("d"))
+        .join(o, a.l_orderkey == o.o_orderkey)
+        .select("month", "s", "d")
+        .distinct()
+        .persist()
+    )
+    months = em.select("month").distinct()
+    valid = months.select(
+        F.add_months("month", 1).alias("month")
+    ).join(months, "month").distinct()
+    prev = em.select(
+        F.add_months("month", 1).alias("month"),
+        "s",
+        "d",
+        F.lit(1).alias("in_prev"),
+    )
+    cur = em.select("month", "s", "d", F.lit(1).alias("in_cur"))
+    j = cur.join(prev, ["month", "s", "d"], "full").join(
+        F.broadcast(valid), "month"
+    )
+    return j.groupBy("month").agg(
+        F.sum(
+            F.when(
+                F.col("in_cur").isNotNull() & F.col("in_prev").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_added"),
+        F.sum(
+            F.when(
+                F.col("in_prev").isNotNull() & F.col("in_cur").isNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("in_cur").isNotNull() & F.col("in_prev").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_retained"),
+    )
+
+
 def _q_ann_recall(spark, sf):
     """Recall@10 of the LSH approximate nearest-neighbor path against
     the exact brute-force cosine top-10, per query — THE acceptance
@@ -2117,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_degree_gini": _q_degree_gini,
         "g_richclub": _q_richclub,
         "g_edges_monthly": _q_edges_monthly,
+        "g_snapshot_diff": _q_snapshot_diff,
         "g_conductance_mod64": _q_conductance,
         "g_knn_curve": _q_knn_curve,
         "p_extract_edges": _q_pages_extract_edges,
@@ -3834,6 +3901,34 @@ SELECT a.l_suppkey AS sa, b.l_suppkey AS sb,
 FROM ps a JOIN ps b ON a.pk = b.pk AND a.l_suppkey < b.l_suppkey
 GROUP BY sa, sb
 ORDER BY shared_parts DESC, sa, sb LIMIT 100"""
+    out["g_snapshot_diff"] = """
+WITH em AS (
+  SELECT DISTINCT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+         a.l_partkey AS s, b.l_partkey AS d
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+  JOIN orders o ON o.o_orderkey = a.l_orderkey
+),
+months AS (SELECT DISTINCT month FROM em),
+valid AS (
+  SELECT m2.month
+  FROM months m1 JOIN months m2
+    ON CAST(m1.month + INTERVAL 1 MONTH AS DATE) = m2.month
+),
+prev AS (SELECT CAST(month + INTERVAL 1 MONTH AS DATE) AS month,
+                s, d, 1 AS in_prev FROM em),
+cur AS (SELECT month, s, d, 1 AS in_cur FROM em),
+j AS (SELECT * FROM cur FULL JOIN prev USING (month, s, d))
+SELECT month,
+       CAST(sum(CASE WHEN in_cur IS NOT NULL AND in_prev IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(sum(CASE WHEN in_prev IS NOT NULL AND in_cur IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN in_cur IS NOT NULL AND in_prev IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+FROM j JOIN valid USING (month)
+GROUP BY month"""
     out["g_edges_monthly"] = """
 SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
        CAST(count(DISTINCT (a.l_partkey, b.l_partkey)) AS BIGINT)
