@@ -1827,6 +1827,25 @@ def _q_partition_nmi(spark, sf):
     )
 
 
+def _q_host_rank_mass(spark, sf):
+    """Host authority the OTHER classic way: run PageRank on the PAGE
+    graph, then aggregate rank mass per host bucket (id % 64) — vs
+    g_host_pagerank3 which first contracts the graph to hosts and
+    ranks that. The two genuinely differ (contraction loses intra-host
+    structure); shipping both lets a user compare them. One
+    vertex-sized aggregation over the verified pagerank kernel, host
+    domain bounded at 64."""
+    from louvain_communities_openmp_spark.operators.pagerank import (
+        pagerank_fixed,
+    )
+
+    pr = pagerank_fixed(coorder_edges(spark, sf), alpha=0.85, iters=3)
+    return pr.groupBy((F.col("id") % 64).alias("host")).agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.round(F.sum("rank"), 7).alias("rank_mass"),
+    )
+
+
 def _q_snapshot_diff(spark, sf):
     """Month-over-month graph churn — the web-graph evolution metric:
     for every month whose predecessor month is also present, count the
@@ -2096,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_triangles_per_vertex": _q_triangles_per_vertex,
         "g_pagerank3": _q_pagerank3,
         "g_pagerank_dangling3": _q_pagerank_dangling3,
+        "g_host_rank_mass": _q_host_rank_mass,
         "g_hits4": _q_hits4,
         "g_ktruss8": _q_ktruss8,
         "g_betweenness8": _q_betweenness8,
@@ -3528,6 +3548,12 @@ cnt AS (
 SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id = cnt.id""",
         "g_pagerank3": _pagerank3_sql(),
         "g_pagerank_dangling3": _pagerank_dangling3_sql(),
+        "g_host_rank_mass": f"""
+WITH pr AS ({_pagerank3_sql(alpha=0.85, iters=3)})
+SELECT id % 64 AS host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       round(sum(rank), 7) AS rank_mass
+FROM pr GROUP BY host""",
         "g_hits4": _hits4_sql(),
         "g_ktruss8": _ktruss_sql(k=8, rounds=4),
         "g_betweenness8": _betweenness_sql(n_sources=8, depth=8),
