@@ -1827,6 +1827,33 @@ def _q_partition_nmi(spark, sf):
     )
 
 
+def _q_lsh_dedup_recall(spark, sf):
+    """Recall of the MinHash-LSH candidate generator against the exact
+    shared-shingle Jaccard pairs at the 0.8 dedup threshold — the
+    acceptance metric for banded dedup (how many true near-dup pairs
+    the banding surfaces). Composition of two verified kernels
+    (d_ngram_pairs exact ≥0.8, d_minhash_lsh_pairs candidates ≥0.7);
+    both apply the same hot-shingle max_df cut, so the ratio is
+    engine-identical. One row: n_exact_pairs, n_caught, recall."""
+    from louvain_communities_openmp_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf)
+    exact = ngram_jaccard_pairs(docs, k=5, threshold=0.8).select("a", "b")
+    lsh = minhash_lsh_pairs(docs, k=5, num_hashes=8, bands=4).select(
+        "a", "b", F.lit(1).alias("hit")
+    )
+    return exact.join(lsh, ["a", "b"], "left").agg(
+        F.count("*").cast("long").alias("n_exact_pairs"),
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_caught"),
+        F.round(
+            F.sum(F.coalesce("hit", F.lit(0))) / F.count("*"), 6
+        ).alias("recall"),
+    )
+
+
 def _q_host_rank_mass(spark, sf):
     """Host authority the OTHER classic way: run PageRank on the PAGE
     graph, then aggregate rank mass per host bucket (id % 64) — vs
@@ -2171,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_ivf_recall": _q_ivf_recall,
         "e_ivf_topk": _q_ivf_topk,
         "d_minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "d_lsh_dedup_recall": _q_lsh_dedup_recall,
         "d_dedup_clusters": _q_dedup_clusters,
         "g_community_degree_mod64": _q_community_degree,
         "m_media_meta": _q_media_meta,
@@ -4551,6 +4579,15 @@ FROM ({out["e_cosine_topk"]}) e
 LEFT JOIN ({out["e_lsh_topk"]}) a
   ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
 GROUP BY e.query_id"""
+    out["d_lsh_dedup_recall"] = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_exact_pairs,
+       CAST(sum(CASE WHEN l.a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       round(CAST(sum(CASE WHEN l.a IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS recall
+FROM ({out["d_ngram_pairs"]}) e
+LEFT JOIN ({out["d_minhash_lsh_pairs"]}) l
+  ON e.a = l.a AND e.b = l.b"""
     out["e_ivf_recall"] = f"""
 SELECT e.query_id,
        CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
