@@ -778,6 +778,43 @@ def _q_frame_sample(spark, sf):
     )
 
 
+def _q_events_anomaly(spark, sf):
+    """Hourly event-rate anomaly scoring per event_type — the standard
+    operational-monitoring query: z-score of each hour's count against
+    its trailing 24-hour window (sample stddev), emitted only where
+    the window has ≥12 points and positive variance. The window is
+    PARTITIONED by event_type, so per-task state is one type's hourly
+    series — at 100 TB the hourly pre-aggregation (one
+    map-side-combined shuffle) reduces the stream to (types × hours)
+    rows before any windowing."""
+    from pyspark.sql import Window as W
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").cast("double").alias("nf"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "nf",
+        F.avg("nf").over(w).alias("mu"),
+        F.stddev("nf").over(w).alias("sd"),
+        F.count("nf").over(w).alias("cnt"),
+    )
+    return scored.where((F.col("cnt") >= 12) & (F.col("sd") > 0)).select(
+        "event_type",
+        "hour",
+        F.col("nf").cast("long").alias("n"),
+        F.round("mu", 6).alias("trail_avg"),
+        F.round((F.col("nf") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+    )
+
+
 def _q_events_hourly(spark, sf):
     ev = spark.read.parquet(f"{sf}/events.parquet")
     return (
@@ -2205,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_media_features": _q_media_features,
         "m_frame_sample": _q_frame_sample,
         "ev_hourly": _q_events_hourly,
+        "ev_anomaly": _q_events_anomaly,
         "ev_sessions": _q_events_sessions,
         "g_jaccard100": _q_jaccard,
         "g_harmonic8": _q_harmonic,
@@ -3879,6 +3917,24 @@ SELECT query_id, neighbor_id, sim FROM ranked WHERE rn <= 10""",
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n, round(sum(value), 6) AS value_sum
 FROM events GROUP BY 1, 2""",
+        "ev_anomaly": """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS DOUBLE) AS nf
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour, nf,
+         avg(nf) OVER w AS mu,
+         stddev_samp(nf) OVER w AS sd,
+         count(nf) OVER w AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, CAST(nf AS BIGINT) AS n,
+       round(mu, 6) AS trail_avg, round((nf - mu) / sd, 6) AS z
+FROM scored WHERE cnt >= 12 AND sd > 0""",
     }
     out["g_jaccard100"] = (
         f"WITH {_EDGES_CTE.strip()},\n"
