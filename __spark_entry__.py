@@ -1891,6 +1891,65 @@ def _q_lsh_dedup_recall(spark, sf):
     )
 
 
+def _q_crawl_budget(spark, sf):
+    """Crawl-budget apportionment: split a fixed budget of 100,000
+    fetches across the 64 hosts proportionally to host PageRank using
+    Hamilton's largest-remainder method — floor shares first, the
+    leftover units to the largest fractional remainders (host id
+    tiebreak). The rank is scaled to integer units (round(rank·1e7)),
+    so the whole apportionment is INTEGER arithmetic — engine-exact,
+    no float tolerance — and Σ budget = 100,000 by construction. All
+    frames are host-domain-sized (64 rows): the window and scalar
+    cross joins are bounded regardless of corpus size."""
+    from louvain_communities_openmp_spark.operators.pagerank import (
+        pagerank_fixed,
+    )
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        host_contract,
+    )
+    from pyspark.sql import Window as W
+
+    h = host_contract(coorder_edges(spark, sf), n_hosts=64).select(
+        F.col("hsrc").alias("src"),
+        F.col("hdst").alias("dst"),
+        F.col("weight").alias("w"),
+    )
+    ri = pagerank_fixed(h, alpha=0.85, iters=3).select(
+        F.col("id").alias("host"),
+        F.round(F.col("rank") * 1e7, 0).cast("long").alias("ri"),
+    )
+    tot = ri.agg(F.sum("ri").alias("rtot"))
+    b = 100000
+    shares = ri.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "ri",
+        F.expr(f"({b} * ri) div rtot").alias("base"),
+        F.expr(f"({b} * ri) % rtot").alias("rem"),
+    )
+    spent = shares.agg(F.sum("base").alias("base_tot"))
+    rn = F.row_number().over(
+        W.orderBy(F.desc("rem"), F.asc("host"))
+    )
+    return (
+        shares.crossJoin(F.broadcast(spent))
+        .select(
+            "host",
+            "base",
+            rn.alias("rn"),
+            (F.lit(b) - F.col("base_tot")).alias("leftover"),
+        )
+        .select(
+            "host",
+            (
+                F.col("base")
+                + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("budget"),
+        )
+    )
+
+
 def _q_host_rank_mass(spark, sf):
     """Host authority the OTHER classic way: run PageRank on the PAGE
     graph, then aggregate rank mass per host bucket (id % 64) — vs
@@ -2180,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pagerank3": _q_pagerank3,
         "g_pagerank_dangling3": _q_pagerank_dangling3,
         "g_host_rank_mass": _q_host_rank_mass,
+        "p_crawl_budget": _q_crawl_budget,
         "g_hits4": _q_hits4,
         "g_ktruss8": _q_ktruss8,
         "g_betweenness8": _q_betweenness8,
@@ -3614,6 +3674,27 @@ cnt AS (
 SELECT v.id, coalesce(cnt.t, 0) AS triangles FROM verts v LEFT JOIN cnt ON v.id = cnt.id""",
         "g_pagerank3": _pagerank3_sql(),
         "g_pagerank_dangling3": _pagerank_dangling3_sql(),
+        "p_crawl_budget": f"""
+WITH hr AS ({_pagerank3_sql(alpha=0.85, iters=3, contract_hosts=64)}),
+ri AS (SELECT id AS host, CAST(round(rank * 1e7, 0) AS BIGINT) AS ri FROM hr),
+tot AS (SELECT sum(ri) AS rtot FROM ri),
+shares AS (
+  SELECT host, ri,
+         (100000 * ri) // tot.rtot AS base,
+         (100000 * ri) % tot.rtot AS rem
+  FROM ri, tot
+),
+spent AS (SELECT sum(base) AS base_tot FROM shares),
+ranked AS (
+  SELECT host, base,
+         row_number() OVER (ORDER BY rem DESC, host ASC) AS rn,
+         100000 - spent.base_tot AS leftover
+  FROM shares, spent
+)
+SELECT host,
+       CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS budget
+FROM ranked""",
         "g_host_rank_mass": f"""
 WITH pr AS ({_pagerank3_sql(alpha=0.85, iters=3)})
 SELECT id % 64 AS host,
