@@ -189,6 +189,23 @@ def main() -> None:
             qs["g_pagerank_dangling3"],
         ),
         (
+            "g_snapshot_diff — month-over-month graph churn",
+            "ONE distinct over (month,s,d) builds the snapshot edge set;"
+            " the full join is the SAME persisted frame against itself"
+            " shifted a month (co-partitioned keys), the valid-month"
+            " filter a broadcast of the bounded month domain; counts are"
+            " integer conditional sums in codegen.",
+            qs["g_snapshot_diff"],
+        ),
+        (
+            "ev_anomaly — trailing-window event-rate z-scores",
+            "Hourly pre-aggregation (map-side-combined) collapses the"
+            " event stream BEFORE the window; the sliding 24-row frame is"
+            " partitioned by event_type — no global ordering, per-task"
+            " state one type's hourly series.",
+            qs["ev_anomaly"],
+        ),
+        (
             "p_frontier_shards — politeness-sharded crawl frontier",
             "The recrawl-priority subtree is unchanged (broadcast"
             " host-rank + max(struct) latest-capture agg); the new layer"
