@@ -1328,6 +1328,38 @@ def _q_bfs_hops(spark, sf):
     return bfs(e, src).distances
 
 
+def _q_click_depth4(spark, sf):
+    """Per-host click depth: hop distance from each host's root page
+    (minimum page id per host; host(i) = i % 16 as in
+    sources/pages.py::url_of) over the INTRA-host link subgraph, capped
+    at 4 hops — the crawl-depth signal a crawler uses to budget deep
+    pages (depth-0 = homepage, depth>k usually deprioritized).
+    Multi-source BFS (operators/bfs.py, one frontier per host root);
+    cross-host edges are filtered out, so each host's reached set is
+    exactly its root's 4-ball and the per-host frontiers can never
+    interfere. Scale shape: the intra-host filter prunes at the scan,
+    the k=4 cap bounds rounds, and each round moves only the
+    vertex-sized frontier (edges stay put). Twin: 4 unrolled min-plus
+    rounds over the host-filtered edge CTE."""
+    from louvain_communities_openmp_spark.operators.bfs import bfs
+    from louvain_communities_openmp_spark.operators.transforms import vertices
+
+    e = coorder_edges(spark, sf)
+    intra = e.where((F.col("src") % 16) == (F.col("dst") % 16))
+    roots = (
+        vertices(e)
+        .groupBy((F.col("id") % 16).alias("host"))
+        .agg(F.min("id").alias("id"))
+        .select("id")
+    )
+    d = bfs(intra, roots, max_iter=4).distances
+    return d.select(
+        "id",
+        (F.col("id") % 16).cast("long").alias("host"),
+        F.col("dist").alias("depth"),
+    )
+
+
 def _q_transpose_degrees(spark, sf):
     from louvain_communities_openmp_spark.operators.transforms import (
         transpose_with_degree,
@@ -2348,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_spam_mass3": _q_spam_mass3,
         "p_crawl_schedule": _q_crawl_schedule,
         "p_frontier_shards": _q_frontier_shards,
+        "p_click_depth4": _q_click_depth4,
     }
 
 
@@ -3567,6 +3600,33 @@ SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT) WHERE
     )
 
 
+def _click_depth_sql(rounds: int = 4) -> str:
+    """Min-plus BFS from each host's root page, unrolled to the 4-hop
+    cap, over the intra-host edge subset. No convergence sentinel: the
+    cap IS the semantics (depth > 4 pages are excluded on both sides)."""
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "v AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "ie AS MATERIALIZED (SELECT src, dst FROM edges WHERE src % 16 = dst % 16)",
+        "d0 AS MATERIALIZED (SELECT min(id) AS id, CAST(0 AS BIGINT) AS depth"
+        " FROM v GROUP BY id % 16)",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""
+d{k + 1} AS MATERIALIZED (
+  SELECT id, min(depth) AS depth FROM (
+    SELECT id, depth FROM d{k}
+    UNION ALL
+    SELECT e.dst AS id, p.depth + 1 AS depth FROM ie e JOIN d{k} p ON e.src = p.id
+  ) GROUP BY id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id, id % 16 AS host, depth FROM d{rounds}"
+    )
+
+
 _SESSIONS_SQL = """
 WITH o AS (
   SELECT user_id, ts, value,
@@ -3778,6 +3838,7 @@ p2 AS (SELECT DISTINCT v, u FROM (
 SELECT v AS id, count(*) AS reach FROM p2 GROUP BY v""",
         "g_labelprop": _labelprop_sql(),
         "g_bfs_hops": _bfs_sql(),
+        "p_click_depth4": _click_depth_sql(),
         "g_disconnected_mod64": _disconnected_sql(),
         "g_community_degree_mod64": f"WITH {_EDGES_CTE.strip()},\n"
         "deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)\n"

@@ -256,3 +256,30 @@ def test_frontier_shards_politeness_invariants(spark):
         assert [r["fetch_seq"] for r in hr] == list(range(1, len(hr) + 1))
         pr = [r["priority"] for r in hr]
         assert all(a >= b for a, b in zip(pr, pr[1:])), host
+
+
+def test_click_depth_multi_source_cap_and_host_isolation(spark):
+    # chain of host-0 pages 0->16->32->48->64->80: root 0, the 4-hop
+    # cap keeps depths 0..4 and EXCLUDES page 80 (true depth 5); a
+    # cross-host edge (0,1) must not leak host 0's root into host 1
+    # (1 stays host 1's root at depth 0, 17 at depth 1)
+    from louvain_communities_openmp_spark.operators.bfs import bfs
+    from louvain_communities_openmp_spark.operators.transforms import vertices
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(0, 16), (16, 32), (32, 48), (48, 64), (64, 80), (0, 1), (1, 17)],
+        "src long, dst long",
+    ).withColumn("w", F.lit(1.0))
+    intra = e.where((F.col("src") % 16) == (F.col("dst") % 16))
+    roots = (
+        vertices(e)
+        .groupBy((F.col("id") % 16).alias("host"))
+        .agg(F.min("id").alias("id"))
+        .select("id")
+    )
+    got = {
+        r["id"]: r["dist"]
+        for r in bfs(intra, roots, max_iter=4).distances.collect()
+    }
+    assert got == {0: 0, 16: 1, 32: 2, 48: 3, 64: 4, 1: 0, 17: 1}
