@@ -1328,6 +1328,18 @@ def _q_bfs_hops(spark, sf):
     return bfs(e, src).distances
 
 
+def _q_absorb4(spark, sf):
+    """First-hit absorption walk counts into the id%64==0 target set
+    within 4 forward steps (operators/centrality.py::absorb_fixed) —
+    the TrustRank-family absorption statistic, BIGINT-exact. Twin
+    unrolls the 4 first-hit rounds with running-total joins."""
+    from louvain_communities_openmp_spark.operators.centrality import (
+        absorb_fixed,
+    )
+
+    return absorb_fixed(coorder_edges(spark, sf), iters=4)
+
+
 def _q_click_depth4(spark, sf):
     """Per-host click depth: hop distance from each host's root page
     (minimum page id per host; host(i) = i % 16 as in
@@ -2381,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_crawl_schedule": _q_crawl_schedule,
         "p_frontier_shards": _q_frontier_shards,
         "p_click_depth4": _q_click_depth4,
+        "g_absorb4": _q_absorb4,
     }
 
 
@@ -3627,6 +3640,39 @@ d{k + 1} AS MATERIALIZED (
     )
 
 
+def _absorb_sql(iters: int = 4, target_mod: int = 64) -> str:
+    """First-hit absorption rounds unrolled: f_{t+1}(v) = 0 on targets,
+    Σ w·f_t over out-edges elsewhere; the answer is the running BIGINT
+    total Σ_t f_t — integer-exact, no float tolerance."""
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "vx AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        f"f0 AS MATERIALIZED (SELECT id, CAST(CASE WHEN id % {target_mod} = 0"
+        " THEN 1 ELSE 0 END AS BIGINT) AS f FROM vx)",
+    ]
+    for k in range(iters):
+        ctes.append(f"""
+f{k + 1} AS MATERIALIZED (
+  SELECT vx.id,
+         CAST(CASE WHEN vx.id % {target_mod} = 0 THEN 0
+              ELSE coalesce(c.s, 0) END AS BIGINT) AS f
+  FROM vx LEFT JOIN (
+    SELECT e.src AS id, sum(CAST(e.w AS BIGINT) * p.f) AS s
+    FROM edges e JOIN f{k} p ON e.dst = p.id GROUP BY e.src
+  ) c ON vx.id = c.id
+)""")
+    total = " + ".join(f"f{k}.f" for k in range(iters + 1))
+    joins = "".join(
+        f" JOIN f{k} ON f0.id = f{k}.id" for k in range(1, iters + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT f0.id, CAST({total} AS BIGINT) AS absorb{iters}"
+        + f" FROM f0{joins}"
+    )
+
+
 _SESSIONS_SQL = """
 WITH o AS (
   SELECT user_id, ts, value,
@@ -3839,6 +3885,7 @@ SELECT v AS id, count(*) AS reach FROM p2 GROUP BY v""",
         "g_labelprop": _labelprop_sql(),
         "g_bfs_hops": _bfs_sql(),
         "p_click_depth4": _click_depth_sql(),
+        "g_absorb4": _absorb_sql(),
         "g_disconnected_mod64": _disconnected_sql(),
         "g_community_degree_mod64": f"WITH {_EDGES_CTE.strip()},\n"
         "deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)\n"

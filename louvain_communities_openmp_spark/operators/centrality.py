@@ -209,6 +209,72 @@ def katz_fixed(
     return scores.select("id", F.round("k", 6).alias("katz"))
 
 
+def absorb_fixed(
+    edges: DataFrame,
+    iters: int = 4,
+    target_mod: int = 64,
+) -> DataFrame:
+    """First-hit absorption walk counts into a deterministic target set
+    T = {v : v % target_mod == 0} within ``iters`` forward steps:
+    f_0(v) = [v ∈ T];  f_{t+1}(v) = 0 if v ∈ T else Σ_{v→u} w(v,u)·f_t(u);
+    absorb(v) = Σ_{t≤iters} f_t(v) — the weighted count of walks out of
+    v that FIRST hit T at step ≤ iters (the TrustRank-family absorption
+    statistic, integer-exact so the cross-engine check needs no float
+    tolerance; normalizing by Σ_t (weighted outdeg)^t would give the
+    absorption probability).
+
+    Plan shape (katz_fixed mirrored forward): the static edge table is
+    repartitioned on the AGGREGATION key (src) and the vertex-sized
+    count frame broadcasts into the dst join — zero edge exchange per
+    round under the 5M-vertex gate; above it the table partitions on
+    the JOIN key (dst) so only vertex-sized state moves. Overflow
+    bound: absorb ≤ Σ_t (max weighted outdeg)^t — 64-bit safe for
+    iters=4 up to outdeg ~10^4.
+
+    Reference analog: none (the reference is Louvain-only) — a
+    link-graph spam/trust companion in the PageRank family (north rule).
+    """
+    verts = vertices(edges).persist()
+    n = verts.count()
+    use_bc = n <= 5_000_000
+    e = edges.select("src", "dst", F.col("w").cast("long").alias("w")).repartition(
+        "src" if use_bc else "dst"
+    ).persist()
+    e.count()
+    in_t = (F.col("id") % target_mod == 0)
+    f = verts.select("id", F.when(in_t, 1).otherwise(0).cast("long").alias("f"))
+    tot = f.withColumnRenamed("f", "tot").localCheckpoint(eager=True)
+    f = tot.withColumnRenamed("tot", "f")
+    for _ in range(iters):
+        contrib = (
+            e.join(
+                F.broadcast(f) if use_bc else f,
+                e.dst == F.col("id"),
+            )
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("f")).alias("s"))
+        )
+        f = (
+            verts.join(contrib.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.when(in_t, F.lit(0))
+                .otherwise(F.coalesce("s", F.lit(0)))
+                .cast("long")
+                .alias("f"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        tot = (
+            tot.join(f, "id")
+            .select("id", (F.col("tot") + F.col("f")).alias("tot"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    verts.unpersist()
+    return tot.select("id", F.col("tot").alias(f"absorb{iters}"))
+
+
 def closeness_per_source(
     edges: DataFrame,
     n_sources: int = 8,

@@ -283,3 +283,26 @@ def test_click_depth_multi_source_cap_and_host_isolation(spark):
         for r in bfs(intra, roots, max_iter=4).distances.collect()
     }
     assert got == {0: 0, 16: 1, 32: 2, 48: 3, 64: 4, 1: 0, 17: 1}
+
+
+def test_absorb_first_hit_counts_hand_computed(spark):
+    # targets = {0, 64}; line 1 ->(w2) 0 gives f1(1)=2; 2 -> 1 -> 0
+    # gives f2(2)=2 (first-hit at step 2 via 1); 0 -> 2 back-edge must
+    # NOT count (walks out of a target are dead: f(0) stays 0 after
+    # t=0); 3 -> 0 and 3 -> 64 both absorb at step 1 (f1(3)=1+1)
+    from louvain_communities_openmp_spark.operators.centrality import (
+        absorb_fixed,
+    )
+
+    e = spark.createDataFrame(
+        [
+            (1, 0, 2.0),
+            (2, 1, 1.0),
+            (0, 2, 5.0),
+            (3, 0, 1.0),
+            (3, 64, 1.0),
+        ],
+        "src long, dst long, w double",
+    )
+    got = {r["id"]: r["absorb4"] for r in absorb_fixed(e, iters=4).collect()}
+    assert got == {0: 1, 64: 1, 1: 2, 2: 2, 3: 2}
