@@ -1328,6 +1328,19 @@ def _q_bfs_hops(spark, sf):
     return bfs(e, src).distances
 
 
+def _q_sq_topk(spark, sf):
+    """Scalar-quantized ANN top-k (operators/similarity.py::sq_topk):
+    per-dimension 16-level uniform codes from exact global min/max,
+    neighbors ranked by BIGINT squared code distance — the SQ leg of
+    the LSH / IVF / SQ ANN triad, no float tolerance anywhere. Twin
+    re-quantizes relationally (unnest + per-dim min/max join) with the
+    identical clamp/floor expression."""
+    from louvain_communities_openmp_spark.operators.similarity import sq_topk
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return sq_topk(emb, n_queries=10, k=10)
+
+
 def _q_absorb4(spark, sf):
     """First-hit absorption walk counts into the id%64==0 target set
     within 4 forward steps (operators/centrality.py::absorb_fixed) —
@@ -2394,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_frontier_shards": _q_frontier_shards,
         "p_click_depth4": _q_click_depth4,
         "g_absorb4": _q_absorb4,
+        "e_sq_topk": _q_sq_topk,
     }
 
 
@@ -3886,6 +3900,34 @@ SELECT v AS id, count(*) AS reach FROM p2 GROUP BY v""",
         "g_bfs_hops": _bfs_sql(),
         "p_click_depth4": _click_depth_sql(),
         "g_absorb4": _absorb_sql(),
+        "e_sq_topk": """
+WITH ex AS (
+  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
+         generate_subscripts(embedding, 1) AS d
+  FROM embeddings
+), mm AS (
+  SELECT d, min(x) AS mn, max(x) AS mx FROM ex GROUP BY d
+), codes AS (
+  SELECT vec_id, ex.d,
+         CASE WHEN mx > mn
+              THEN CAST(least(15, greatest(0, floor((x - mn) * 16.0 / (mx - mn)))) AS BIGINT)
+              ELSE 0 END AS c
+  FROM ex JOIN mm ON ex.d = mm.d
+), q AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10
+), dist AS (
+  SELECT qc.vec_id AS query_id, ec.vec_id AS neighbor_id,
+         sum((qc.c - ec.c) * (qc.c - ec.c)) AS sqdist
+  FROM codes qc JOIN codes ec ON qc.d = ec.d AND qc.vec_id <> ec.vec_id
+  WHERE qc.vec_id IN (SELECT vec_id FROM q)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sqdist ASC, neighbor_id ASC) AS rn
+  FROM dist
+)
+SELECT query_id, neighbor_id, CAST(sqdist AS BIGINT) AS sqdist
+FROM ranked WHERE rn <= 10""",
         "g_disconnected_mod64": _disconnected_sql(),
         "g_community_degree_mod64": f"WITH {_EDGES_CTE.strip()},\n"
         "deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src)\n"

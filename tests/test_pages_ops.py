@@ -306,3 +306,28 @@ def test_absorb_first_hit_counts_hand_computed(spark):
     )
     got = {r["id"]: r["absorb4"] for r in absorb_fixed(e, iters=4).collect()}
     assert got == {0: 1, 64: 1, 1: 2, 2: 2, 3: 2}
+
+
+def test_sq_topk_codes_bounded_and_exact_twin_ranks_first(spark):
+    # an exact duplicate vector must be the rank-1 SQ neighbor with
+    # integer distance 0; all codes live in [0, 15]
+    from louvain_communities_openmp_spark.operators.similarity import (
+        sq_codes,
+        sq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.orderBy("vec_id").limit(1).select(
+        F.lit(999_999).cast("long").alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    aug = emb.unionByName(first)
+    c = sq_codes(aug)
+    bad = c.select(
+        F.exists("code", lambda v: (v < 0) | (v > 15)).alias("b")
+    ).where("b").count()
+    assert bad == 0
+    top = sq_topk(aug, n_queries=1, k=3).collect()
+    assert top[0]["neighbor_id"] == 999_999 and top[0]["sqdist"] == 0
