@@ -1328,6 +1328,31 @@ def _q_bfs_hops(spark, sf):
     return bfs(e, src).distances
 
 
+def _q_link_exchange(spark, sf):
+    """Reciprocal host-pair link exchange (webstructure.py::
+    link_exchange) — the link-farm / link-swap spam signal: host pairs
+    with page edges in BOTH directions, counts BIGINT-exact. Twin
+    self-joins the host-contracted CTE on the swapped pair."""
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        link_exchange,
+    )
+
+    return link_exchange(coorder_edges(spark, sf), n_hosts=64)
+
+
+def _q_containment(spark, sf):
+    """Asymmetric k-gram containment pairs |A∩B|/|A| ≥ 0.6
+    (operators/dedup.py::ngram_containment_pairs) — the quote /
+    subset-document detector Jaccard misses. Twin reuses the shingle
+    CTE with the directed join and the same -1e-12 gate."""
+    from louvain_communities_openmp_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return ngram_containment_pairs(docs, k=5, threshold=0.6, max_df=1000)
+
+
 def _q_sq_topk(spark, sf):
     """Scalar-quantized ANN top-k (operators/similarity.py::sq_topk):
     per-dimension 16-level uniform codes from exact global min/max,
@@ -2408,6 +2433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_click_depth4": _q_click_depth4,
         "g_absorb4": _q_absorb4,
         "e_sq_topk": _q_sq_topk,
+        "g_link_exchange": _q_link_exchange,
+        "d_containment": _q_containment,
     }
 
 
@@ -3734,6 +3761,31 @@ WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= {threshold} - 1e-12
 """
 
 
+def _containment_sql(k: int = 5, threshold: float = 0.6, max_df: int = 1000) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id AS doc, {_toks('text')} AS toks
+  FROM documents WHERE {_norm('text')} <> ''
+), s AS (
+  SELECT doc, CASE WHEN len(toks) < {k} THEN [array_to_string(toks, ' ')]
+    ELSE list_distinct(list_transform(generate_series(1, len(toks)-{k}+1),
+         i -> array_to_string(toks[i:i+{k - 1}], ' '))) END AS sh
+  FROM t
+), sz AS (SELECT doc, len(sh) AS n FROM s WHERE len(sh) > 0),
+ex0 AS (SELECT doc, unnest(sh) AS g FROM s),
+keep AS (SELECT g FROM ex0 GROUP BY g HAVING count(*) <= {max_df}),
+ex AS (SELECT ex0.doc, ex0.g FROM ex0 JOIN keep USING (g)),
+common AS (
+  SELECT x.doc AS a, y.doc AS b, count(*) AS inter
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc <> y.doc
+  GROUP BY x.doc, y.doc
+)
+SELECT a, b, round(CAST(inter AS DOUBLE) / na.n, 6) AS containment
+FROM common JOIN sz na ON na.doc = a
+WHERE CAST(inter AS DOUBLE) / na.n >= {threshold} - 1e-12
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     tc = (
         f"CASE WHEN {_norm('text')} = '' THEN 0 "
@@ -3900,6 +3952,17 @@ SELECT v AS id, count(*) AS reach FROM p2 GROUP BY v""",
         "g_bfs_hops": _bfs_sql(),
         "p_click_depth4": _click_depth_sql(),
         "g_absorb4": _absorb_sql(),
+        "g_link_exchange": f"""
+WITH {_EDGES_CTE.strip()},
+hg AS (
+  SELECT src % 64 AS hsrc, dst % 64 AS hdst, count(*) AS page_edges
+  FROM edges WHERE src % 64 <> dst % 64 GROUP BY 1, 2
+)
+SELECT f.hsrc AS a, f.hdst AS b, f.page_edges AS fwd_edges,
+       r.page_edges AS bwd_edges,
+       least(f.page_edges, r.page_edges) AS exchange_min
+FROM hg f JOIN hg r ON f.hsrc = r.hdst AND f.hdst = r.hsrc
+WHERE f.hsrc < f.hdst""",
         "e_sq_topk": """
 WITH ex AS (
   SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS x,
@@ -4123,6 +4186,7 @@ FROM pairs p LEFT JOIN sym e ON e.src = p.a AND e.dst = p.b
 ORDER BY common_neighbors DESC, a, b LIMIT 100""",
         "d_minhash_sig": _minhash_sig_sql(),
         "d_ngram_pairs": _ngram_pairs_sql(),
+        "d_containment": _containment_sql(),
         "d_simhash": _simhash_sql(),
         "d_minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
         "d_dedup_clusters": _dedup_clusters_sql(),

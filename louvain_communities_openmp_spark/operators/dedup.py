@@ -451,3 +451,45 @@ def contamination_flags(
             "contaminated"
         ),
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.6,
+    max_df: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC k-gram containment C(a⊆b) = |A∩B| / |A| — the
+    quote / subset-document detector Jaccard misses (a short doc fully
+    quoted inside a long one has high containment but low Jaccard).
+    Candidates come from the same shared-shingle equi-join as
+    ngram_jaccard_pairs (df > max_df shingles dropped — boilerplate
+    guard; bucketed, not all-pairs), and each unordered candidate pair
+    emits up to TWO directed rows: (a, b, containment) means "fraction
+    of a's shingles that also appear in b". Gate on the unrounded ratio
+    with the twin's -1e-12 epsilon; round only the output column.
+    """
+    s = _shingled(docs, text_col, id_col, k).persist()
+    sizes = s.select("doc", F.size("sh").alias("n"))
+    ex = s.select("doc", F.explode("sh").alias("g"))
+    ex = ex.join(
+        ex.groupBy("g").agg(F.count("*").alias("df")).where(F.col("df") <= max_df),
+        "g",
+    ).select("doc", "g")
+    common = (
+        ex.alias("x")
+        .join(
+            ex.alias("y"),
+            (F.col("x.g") == F.col("y.g")) & (F.col("x.doc") != F.col("y.doc")),
+        )
+        .groupBy(F.col("x.doc").alias("a"), F.col("y.doc").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    c = F.col("inter").cast("double") / F.col("na")
+    return (
+        common.join(sizes.select(F.col("doc").alias("a"), F.col("n").alias("na")), "a")
+        .where(c >= threshold - 1e-12)
+        .select("a", "b", F.round(c, 6).alias("containment"))
+    )

@@ -557,3 +557,35 @@ def effective_diameter_est(
                 eff = (t - 1) + frac
             break
     return eff, totals
+
+
+def link_exchange(edges: DataFrame, n_hosts: int = 64) -> DataFrame:
+    """Reciprocal link exchange between host pairs — the classic
+    link-farm / link-swap spam signal (hosts that point at each other
+    far more than organic linking predicts). Contracts to the host
+    graph (bounded n_hosts² key domain, one map-side-combined shuffle),
+    then inner-joins the two directions of each unordered pair:
+    (a, b, fwd_edges, bwd_edges, exchange_min) for a < b where BOTH
+    directions carry at least one page edge; exchange_min = min of the
+    two direction counts (the number of "swapped" links). All counts
+    BIGINT-exact. The pair join is host-cardinality-sized — broadcast
+    at any corpus scale (10^8 hosts ≪ edge scale).
+    """
+    hg = host_contract(edges, n_hosts).where(F.col("hsrc") != F.col("hdst"))
+    fwd = hg.where(F.col("hsrc") < F.col("hdst")).select(
+        F.col("hsrc").alias("a"),
+        F.col("hdst").alias("b"),
+        F.col("page_edges").alias("fwd_edges"),
+    )
+    bwd = hg.where(F.col("hsrc") > F.col("hdst")).select(
+        F.col("hdst").alias("a"),
+        F.col("hsrc").alias("b"),
+        F.col("page_edges").alias("bwd_edges"),
+    )
+    return fwd.join(bwd, ["a", "b"]).select(
+        "a",
+        "b",
+        "fwd_edges",
+        "bwd_edges",
+        F.least("fwd_edges", "bwd_edges").alias("exchange_min"),
+    )

@@ -331,3 +331,39 @@ def test_sq_topk_codes_bounded_and_exact_twin_ranks_first(spark):
     assert bad == 0
     top = sq_topk(aug, n_queries=1, k=3).collect()
     assert top[0]["neighbor_id"] == 999_999 and top[0]["sqdist"] == 0
+
+
+def test_link_exchange_requires_both_directions(spark):
+    from louvain_communities_openmp_spark.operators.webstructure import (
+        link_exchange,
+    )
+    from pyspark.sql import functions as F
+
+    # h0 <-> h1 reciprocal (one page edge each way); h0 -> h2 one-way
+    e = spark.createDataFrame(
+        [(0, 65), (65, 64), (0, 66)], "src long, dst long"
+    ).withColumn("w", F.lit(1.0))
+    rows = link_exchange(e, n_hosts=64).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["a"], r["b"], r["fwd_edges"], r["bwd_edges"], r["exchange_min"]) == (
+        0, 1, 1, 1, 1
+    )
+
+
+def test_containment_is_asymmetric(spark):
+    from louvain_communities_openmp_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    # a's single 5-gram appears verbatim in b => C(a in b) = 1.0;
+    # C(b in a) = 1/6 < 0.6 is NOT emitted
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = ngram_containment_pairs(docs, k=5, threshold=0.6).collect()
+    assert [(r["a"], r["b"], r["containment"]) for r in rows] == [(1, 2, 1.0)]
