@@ -223,6 +223,29 @@ def main() -> None:
             " first aggregation.",
             qs["g_partition_nmi"],
         ),
+        (
+            "g_link_exchange — reciprocal host link exchange",
+            "Host contraction is ONE map-side-combined HashAggregate on"
+            " the bounded 64^2 host-pair domain; the reciprocal pair join"
+            " is host-cardinality-sized (broadcast at any corpus scale).",
+            qs["g_link_exchange"],
+        ),
+        (
+            "e_sq_topk — scalar-quantized ANN",
+            "Per-dim min/max ship as literal arrays so quantization and"
+            " the BIGINT distance fold stay inside WholeStageCodegen; the"
+            " 10-query side broadcasts; one window exchange for the"
+            " top-k cut.",
+            qs["e_sq_topk"],
+        ),
+        (
+            "g_absorb4 — first-hit absorption counts (one round shown)",
+            "Katz dual regime mirrored forward: the static edge table is"
+            " partitioned on the aggregation key (src), the vertex-sized"
+            " count frame broadcasts into the dst join, and the"
+            " contribution sum is a partial+final HashAggregate.",
+            qs["g_absorb4"],
+        ),
     ]
     out = [
         "# PLANS — captured physical plans (sf0.01, local[8])",
