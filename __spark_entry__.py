@@ -1328,6 +1328,16 @@ def _q_bfs_hops(spark, sf):
     return bfs(e, src).distances
 
 
+def _q_widest4(spark, sf):
+    """Widest (bottleneck / max-min) path width over <=4-edge paths
+    from the 4 smallest-id pivots (operators/sssp.py::widest_fixed) —
+    the trust-propagation / capacity dual of g_sssp6, BIGINT-exact.
+    Twin unrolls 4 max-of-least relaxation rounds."""
+    from louvain_communities_openmp_spark.operators.sssp import widest_fixed
+
+    return widest_fixed(coorder_edges(spark, sf), n_sources=4, rounds=4).dists
+
+
 def _q_link_exchange(spark, sf):
     """Reciprocal host-pair link exchange (webstructure.py::
     link_exchange) — the link-farm / link-swap spam signal: host pairs
@@ -2435,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_sq_topk": _q_sq_topk,
         "g_link_exchange": _q_link_exchange,
         "d_containment": _q_containment,
+        "g_widest4": _q_widest4,
     }
 
 
@@ -3761,6 +3772,34 @@ WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= {threshold} - 1e-12
 """
 
 
+def _widest_sql(n_sources: int = 4, rounds: int = 4) -> str:
+    """Max-of-least relaxation unrolled to the fixed round count; the
+    2^62 source self-width seeds first-hop width = edge weight, and
+    identity rows are excluded at the end (widest_fixed contract)."""
+    cap = 4611686018427387904
+    ctes = [
+        _EDGES_CTE.strip().replace("edges AS (", "edges AS MATERIALIZED ("),
+        "vx AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        f"srcs AS (SELECT id AS s FROM vx ORDER BY id LIMIT {n_sources})",
+        f"w0 AS MATERIALIZED (SELECT s, s AS id, CAST({cap} AS BIGINT) AS wide FROM srcs)",
+    ]
+    for k in range(rounds):
+        ctes.append(f"""
+w{k + 1} AS MATERIALIZED (
+  SELECT s, id, max(wide) AS wide FROM (
+    SELECT s, id, wide FROM w{k}
+    UNION ALL
+    SELECT p.s, e.dst AS id, least(CAST(e.w AS BIGINT), p.wide) AS wide
+    FROM edges e JOIN w{k} p ON e.src = p.id
+  ) GROUP BY s, id
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT s, id, wide FROM w{rounds} WHERE id <> s"
+    )
+
+
 def _containment_sql(k: int = 5, threshold: float = 0.6, max_df: int = 1000) -> str:
     return f"""
 WITH t AS (
@@ -4187,6 +4226,7 @@ ORDER BY common_neighbors DESC, a, b LIMIT 100""",
         "d_minhash_sig": _minhash_sig_sql(),
         "d_ngram_pairs": _ngram_pairs_sql(),
         "d_containment": _containment_sql(),
+        "g_widest4": _widest_sql(),
         "d_simhash": _simhash_sql(),
         "d_minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
         "d_dedup_clusters": _dedup_clusters_sql(),

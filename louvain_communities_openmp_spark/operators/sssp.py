@@ -105,3 +105,79 @@ def sssp_fixed(
         n_sources,
         run,
     )
+
+
+_WIDE_CAP = 4611686018427387904  # 2^62 — "unbounded" source self-width
+
+
+def widest_fixed(
+    edges: DataFrame,
+    n_sources: int = 4,
+    rounds: int = 4,
+) -> SsspResult:
+    """Widest (bottleneck / max-min) path width using <= ``rounds``
+    edges from each of the ``n_sources`` smallest-id pivots: the
+    max over paths of the minimum edge weight along the path — the
+    trust-propagation / capacity dual of sssp_fixed's min-plus. Same
+    bounded-round contract, same frontier equivalence (max-min is
+    monotone: a width achieved by a k-edge path is found no later than
+    round k, and every improvement is witnessed by a real path).
+    Widths are BIGINT-exact (integer co-order weights); the source's
+    self-width seeds at 2^62 ("unbounded"), so first-hop width is the
+    edge weight itself; identity rows are excluded from the output.
+
+    Plan shape: identical to sssp_fixed — edge table repartitioned
+    once on src, per round ONE frontier join + map-side-combined
+    max-aggregate + improvement filter; shuffle O(improved rows),
+    never O(E)."""
+    e = edges.select(
+        "src", "dst", F.col("w").cast("long").alias("w")
+    ).repartition("src").persist()
+    state = (
+        vertices(edges)
+        .orderBy("id")
+        .limit(n_sources)
+        .select(
+            F.col("id").alias("s"),
+            F.col("id"),
+            F.lit(_WIDE_CAP).cast("long").alias("wide"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = state
+    run = 0
+    for _ in range(rounds):
+        cand = (
+            e.join(
+                frontier.select(F.col("id").alias("src"), "s", "wide"),
+                "src",
+            )
+            .groupBy("s", F.col("dst").alias("id"))
+            .agg(F.max(F.least(F.col("w"), F.col("wide"))).alias("wide"))
+        )
+        improved = (
+            cand.join(
+                state.select("s", "id", F.col("wide").alias("old")),
+                ["s", "id"],
+                "left",
+            )
+            .where(F.col("old").isNull() | (F.col("wide") > F.col("old")))
+            .select("s", "id", "wide")
+            .localCheckpoint(eager=True)
+        )
+        run += 1
+        if improved.count() == 0:
+            break
+        state = (
+            state.unionByName(improved)
+            .groupBy("s", "id")
+            .agg(F.max("wide").alias("wide"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    e.unpersist()
+    return SsspResult(
+        state.where(F.col("id") != F.col("s")).select("s", "id", "wide"),
+        n_sources,
+        run,
+    )

@@ -367,3 +367,19 @@ def test_containment_is_asymmetric(spark):
     )
     rows = ngram_containment_pairs(docs, k=5, threshold=0.6).collect()
     assert [(r["a"], r["b"], r["containment"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_widest_path_max_min_hand_computed(spark):
+    # 0 ->5 1 ->3 2 ->9 3 and 0 ->2 2: widest(0,2) = max(min(5,3),2)=3,
+    # widest(0,3) = min(5,3,9) = 3; first hop widest(0,1) = 5
+    from louvain_communities_openmp_spark.operators.sssp import widest_fixed
+
+    e = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 2, 3.0), (2, 3, 9.0), (0, 2, 2.0)],
+        "src long, dst long, w double",
+    )
+    got = {
+        (r["s"], r["id"]): r["wide"]
+        for r in widest_fixed(e, n_sources=1, rounds=4).dists.collect()
+    }
+    assert got == {(0, 1): 5, (0, 2): 3, (0, 3): 3}
