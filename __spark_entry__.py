@@ -745,6 +745,24 @@ def _q_media_meta(spark, sf):
     )
 
 
+def _q_media_dedup(spark, sf):
+    """Exact binary-content dedup over media blobs — the blob analog of
+    d_dedup_exact (identical images/audio stored under many ids): group
+    on the decoder's sha256-prefix checksum, keep the smallest id.
+    One map-side-combined shuffle on the uniform content hash; the
+    group frame joins back on the same key (co-partitioned). Twin
+    recomputes the checksum with SQL sha256 over the same bytes."""
+    from louvain_communities_openmp_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    m = extract_media_features(_media(spark, sf)).select("id", "checksum")
+    g = m.groupBy("checksum").agg(
+        F.min("id").alias("keep_id"), F.count("*").alias("group_size")
+    )
+    return m.join(g, "checksum").select("id", "keep_id", "group_size", "checksum")
+
+
 def _q_media_features(spark, sf):
     """Full decode output with the feature vector exploded to scalar
     double columns (feat_0..feat_7): array<float> cannot be hashed by
@@ -2446,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_link_exchange": _q_link_exchange,
         "d_containment": _q_containment,
         "g_widest4": _q_widest4,
+        "m_media_dedup": _q_media_dedup,
     }
 
 
@@ -4050,6 +4069,15 @@ SELECT doc_id AS id, 'text' AS media_type,
        CAST(1 + CAST(('0x' || substr(sha256(text), 5, 4)) AS BIGINT) % 4096 AS INT) AS height,
        substr(sha256(text), 1, 16) AS checksum
 FROM documents""",
+        "m_media_dedup": """
+WITH m AS (
+  SELECT doc_id AS id, substr(sha256(text), 1, 16) AS checksum FROM documents
+), g AS (
+  SELECT checksum, min(id) AS keep_id, count(*) AS group_size
+  FROM m GROUP BY checksum
+)
+SELECT m.id, g.keep_id, g.group_size, m.checksum
+FROM m JOIN g ON m.checksum = g.checksum""",
         "m_media_features": (
             """
 SELECT doc_id AS id, 'text' AS media_type,
