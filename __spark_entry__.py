@@ -1346,6 +1346,20 @@ def _q_bfs_hops(spark, sf):
     return bfs(e, src).distances
 
 
+def _q_winnow(spark, sf):
+    """Winnowing (MOSS) document fingerprints: positional 5-gram md5
+    hashes, sliding window w=4, keep each window's min — any shared
+    token run >= w+k-1 long yields a shared fingerprint
+    (operators/dedup.py::winnow_fingerprints). Twin replays the scheme
+    with the identical 15-hex-char md5 parse and 1-based positions."""
+    from louvain_communities_openmp_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    return winnow_fingerprints(docs, k=5, w=4)
+
+
 def _q_widest4(spark, sf):
     """Widest (bottleneck / max-min) path width over <=4-edge paths
     from the 4 smallest-id pivots (operators/sssp.py::widest_fixed) —
@@ -2465,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_containment": _q_containment,
         "g_widest4": _q_widest4,
         "m_media_dedup": _q_media_dedup,
+        "d_winnow": _q_winnow,
     }
 
 
@@ -4255,6 +4270,28 @@ ORDER BY common_neighbors DESC, a, b LIMIT 100""",
         "d_ngram_pairs": _ngram_pairs_sql(),
         "d_containment": _containment_sql(),
         "g_widest4": _widest_sql(),
+        "d_winnow": f"""
+WITH t AS (
+  SELECT doc_id AS doc, {_toks('text')} AS toks
+  FROM documents WHERE {_norm('text')} <> ''
+), gr AS (
+  SELECT doc,
+         CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+              ELSE list_transform(generate_series(1, len(toks) - 5 + 1),
+                   i -> array_to_string(toks[i:i+4], ' ')) END AS gs
+  FROM t
+), g AS (
+  SELECT doc, generate_subscripts(gs, 1) AS pos,
+         CAST(('0x' || substr(md5(unnest(gs)), 1, 15)) AS BIGINT) AS h
+  FROM gr
+), wmin AS (
+  SELECT doc, pos,
+         min(h) OVER (PARTITION BY doc ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc) AS ng
+  FROM g
+)
+SELECT DISTINCT doc, fp FROM wmin WHERE pos <= greatest(1, ng - 4 + 1)""",
         "d_simhash": _simhash_sql(),
         "d_minhash_lsh_pairs": _minhash_lsh_pairs_sql(),
         "d_dedup_clusters": _dedup_clusters_sql(),

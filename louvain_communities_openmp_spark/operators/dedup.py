@@ -493,3 +493,59 @@ def ngram_containment_pairs(
         .where(c >= threshold - 1e-12)
         .select("a", "b", F.round(c, 6).alias("containment"))
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    POSITIONAL word k-gram (not the distinct set — position matters),
+    slide a window of ``w`` consecutive gram hashes, and keep each
+    window's minimum hash; the distinct (doc, fp) set is the document's
+    fingerprint. Guarantee: any shared run of >= w + k - 1 tokens
+    between two documents yields at least one shared fingerprint, while
+    storage is ~2/(w+1) of the gram count — the plagiarism/quote
+    detector that survives local edits.
+
+    Gram hash = first 15 hex chars of md5 parsed base-16 (60 bits,
+    BIGINT-safe, identical in Spark and DuckDB — the salted-md5
+    convention of minhash_signatures). Docs with fewer than w grams
+    emit the single min over what they have. Plan: the only exchange is
+    the per-doc sort for the sliding window (state bounded by one doc's
+    gram count) plus the final distinct — both uniform-keyed.
+    """
+    from pyspark.sql import Window
+
+    td = docs.where(normalize(F.col(text_col)) != "").select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
+    )
+    n = F.size("toks")
+    grams = F.when(n < k, F.array(F.array_join("toks", " "))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice("toks", i, k), " "),
+        )
+    )
+    g = td.select("doc", F.posexplode(grams).alias("pos", "g")).select(
+        "doc",
+        "pos",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    win = Window.partitionBy("doc").orderBy("pos").rowsBetween(0, w - 1)
+    cnt = Window.partitionBy("doc")
+    fp = (
+        g.select(
+            "doc",
+            "pos",
+            F.min("h").over(win).alias("fp"),
+            F.count("*").over(cnt).alias("ng"),
+        )
+        .where(F.col("pos") <= F.greatest(F.lit(0), F.col("ng") - w))
+        .select("doc", "fp")
+        .distinct()
+    )
+    return fp

@@ -685,3 +685,27 @@ def test_corpus_profile_approx_vs_exact(spark):
         assert abs(ap[g]["p95_chars"] - ex[g]["p95_chars"]) <= max(
             20, 0.2 * ex[g]["p95_chars"]
         )
+
+
+def test_winnow_shared_run_guarantee_and_edit_robustness(spark):
+    # two docs share a 10-token run (>= w+k-1 = 8): they MUST share at
+    # least one fingerprint even though their other halves differ
+    from louvain_communities_openmp_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " tail one"),
+            (2, "completely different prefix tokens " + shared),
+            (3, "no overlap with anything else at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=5, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r["doc"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared run must yield a shared fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
