@@ -864,6 +864,36 @@ def _q_events_sessions(spark, sf):
     )
 
 
+def _q_events_bounce(spark, sf):
+    """Daily bounce rate — share of 30-minute sessions with exactly one
+    event, keyed by session-start day (the classic engagement KPI,
+    composed from the ev_sessions windows). One session_window
+    aggregation + one bounded-key daily aggregate; the exact n/d pair
+    rides along so the rounded rate is auditable. Twin replays the
+    lag-based session split of _SESSIONS_SQL."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    s = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n"))
+        .select(F.to_date("sw.start").cast("string").alias("day"), "n")
+    )
+    return (
+        s.groupBy("day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum((F.col("n") == 1).cast("long")).alias("n_bounce"),
+        )
+        .select(
+            "day",
+            "n_sessions",
+            "n_bounce",
+            F.round(F.col("n_bounce") / F.col("n_sessions"), 6).alias(
+                "bounce_rate"
+            ),
+        )
+    )
+
+
 def _q_pmi(spark, sf):
     """Association ranking on the co-occurrence graph: top-100 part
     pairs by lift = N·c(a,b)/(c(a)·c(b)) with N = total co-occurrence
@@ -2480,6 +2510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_widest4": _q_widest4,
         "m_media_dedup": _q_media_dedup,
         "d_winnow": _q_winnow,
+        "ev_bounce": _q_events_bounce,
     }
 
 
@@ -4077,6 +4108,29 @@ SELECT e.dst AS src, e.src AS dst, e.w,
        coalesce(d.deg, 0) AS src_outdeg
 FROM edges e LEFT JOIN deg d ON d.src = e.src""",
         "ev_sessions": _SESSIONS_SQL,
+        "ev_bounce": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), g AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), s AS (
+  SELECT user_id, sid, min(ts) AS session_start, count(*) AS n
+  FROM g GROUP BY 1, 2
+)
+SELECT CAST(CAST(session_start AS DATE) AS VARCHAR) AS day,
+       count(*) AS n_sessions,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+       round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS bounce_rate
+FROM s GROUP BY 1""",
         "m_media_meta": """
 SELECT doc_id AS id, 'text' AS media_type,
        octet_length(CAST(text AS BLOB)) AS n_bytes,
