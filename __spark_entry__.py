@@ -337,6 +337,20 @@ def _q_reciprocity(spark, sf):
     )
 
 
+def _q_mutual_triangles(spark, sf):
+    """Fully-reciprocal triads of the FULL purchase-sequence digraph
+    (operators/triangles.py::mutual_triangle_total) — the link-ring
+    motif one level above g_reciprocity's dyad share. Twin: three-way
+    join over the reciprocal canonical CTE."""
+    from louvain_communities_openmp_spark.operators.triangles import (
+        mutual_triangle_total,
+    )
+    from louvain_communities_openmp_spark.sources.edges import sequence_edges
+
+    n = mutual_triangle_total(sequence_edges(spark, sf))
+    return spark.createDataFrame([(n,)], "n_mutual_triangles long")
+
+
 def _q_assortativity(spark, sf):
     """Degree assortativity of the co-order graph: Pearson correlation
     of endpoint degrees across directed edge slots, computed from
@@ -2511,6 +2525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m_media_dedup": _q_media_dedup,
         "d_winnow": _q_winnow,
         "ev_bounce": _q_events_bounce,
+        "g_mutual_triangles": _q_mutual_triangles,
     }
 
 
@@ -3987,6 +4002,16 @@ FROM pr GROUP BY host""",
         "g_scc_dag": _scc_dag_sql(thr="0a"),
         "g_bowtie": _bowtie_sql(thr="0a"),
         "g_reciprocity": _reciprocity_sql(),
+        "g_mutual_triangles": f"""
+WITH {_sequence_cte('ff')},
+rc AS (
+  SELECT DISTINCT e.src, e.dst
+  FROM dedges e JOIN dedges r ON e.src = r.dst AND e.dst = r.src
+  WHERE e.src < e.dst
+)
+SELECT count(*) AS n_mutual_triangles
+FROM rc e1 JOIN rc e2 ON e1.dst = e2.src
+JOIN rc e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
         "g_cocitation100": f"WITH {_EDGES_CTE.strip()},\n"
         """de AS (SELECT src, dst FROM edges WHERE src < dst),
 od AS (SELECT src, count(*) AS odeg FROM de GROUP BY src),

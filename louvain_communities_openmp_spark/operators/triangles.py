@@ -121,3 +121,28 @@ def triangle_count(edges: DataFrame) -> TriangleResult:
     total = tris.count()
     o.unpersist()
     return TriangleResult(all_verts, total)
+
+
+def mutual_triangle_total(edges: DataFrame) -> int:
+    """Count of FULLY-RECIPROCAL triangles in a directed edge table:
+    triads all three of whose dyads carry both edge directions — the
+    tightly-knit link-ring motif one level above dyad reciprocity.
+    The reciprocal dyad set is one self-join on the swapped (dst, src)
+    key (same shape as the reciprocity aggregate); the count then
+    reuses the oriented edge-iterator kernel (_triangles: codegen
+    array_intersect, O(√E) array widths) on the mutual subgraph."""
+    e = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
+    rec = (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            (F.col("x.src") == F.col("y.dst"))
+            & (F.col("x.dst") == F.col("y.src")),
+        )
+        .select(F.col("x.src").alias("src"), F.col("x.dst").alias("dst"))
+    )
+    o = _oriented(rec).persist()
+    try:
+        return _triangles(o).count()
+    finally:
+        o.unpersist()

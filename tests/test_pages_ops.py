@@ -383,3 +383,19 @@ def test_widest_path_max_min_hand_computed(spark):
         for r in widest_fixed(e, n_sources=1, rounds=4).dists.collect()
     }
     assert got == {(0, 1): 5, (0, 2): 3, (0, 3): 3}
+
+
+def test_mutual_triangles_require_all_six_arcs(spark):
+    from louvain_communities_openmp_spark.operators.triangles import (
+        mutual_triangle_total,
+    )
+    from pyspark.sql import functions as F
+
+    # triangle {1,2,3} fully reciprocal (6 arcs) counts; triangle
+    # {4,5,6} is a one-way cycle (3 arcs) and must NOT count
+    arcs = [(1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1),
+            (4, 5), (5, 6), (6, 4)]
+    e = spark.createDataFrame(arcs, "src long, dst long").withColumn(
+        "w", F.lit(1.0)
+    )
+    assert mutual_triangle_total(e) == 1
