@@ -337,6 +337,51 @@ def _q_reciprocity(spark, sf):
     )
 
 
+def _q_host_fanout(spark, sf):
+    """Cross-host fan-out per page: outlink count and number of
+    DISTINCT target hosts (host = id % 16, the url_of mapping) — the
+    mixer/directory-page detector a crawler uses to find hub pages
+    that bridge many sites. ONE map-side-combined aggregate; the
+    distinct-host count is exact over the bounded host domain."""
+    e = coorder_edges(spark, sf)
+    return e.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("n_out"),
+        F.countDistinct((F.col("dst") % 16).cast("long")).alias("n_hosts"),
+    )
+
+
+def _q_events_dau(spark, sf):
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    triple every analytics stack reports. The (user, day) frame is one
+    distinct; WAU joins it to the bounded day domain (≤ days × 7 rows
+    move), so nothing event-scale shuffles twice. Twin replays the
+    same window join with date arithmetic."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct().persist()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    days = ud.select("day").distinct().select(F.col("day").alias("d0"))
+    wau = (
+        ud.join(
+            days,
+            (F.col("day") <= F.col("d0"))
+            & (F.col("day") >= F.date_sub(F.col("d0"), 6)),
+        )
+        .groupBy("d0")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.d0)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
 def _q_mutual_triangles(spark, sf):
     """Fully-reciprocal triads of the FULL purchase-sequence digraph
     (operators/triangles.py::mutual_triangle_total) — the link-ring
@@ -2526,6 +2571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_winnow": _q_winnow,
         "ev_bounce": _q_events_bounce,
         "g_mutual_triangles": _q_mutual_triangles,
+        "p_host_fanout": _q_host_fanout,
+        "ev_dau": _q_events_dau,
     }
 
 
@@ -4002,6 +4049,23 @@ FROM pr GROUP BY host""",
         "g_scc_dag": _scc_dag_sql(thr="0a"),
         "g_bowtie": _bowtie_sql(thr="0a"),
         "g_reciprocity": _reciprocity_sql(),
+        "p_host_fanout": f"""
+WITH {_EDGES_CTE.strip()}
+SELECT src AS id, count(*) AS n_out,
+       count(DISTINCT dst % 16) AS n_hosts
+FROM edges GROUP BY src""",
+        "ev_dau": """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+days AS (SELECT DISTINCT day AS d0 FROM ud),
+dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT d.d0, count(DISTINCT u.user_id) AS wau
+  FROM days d JOIN ud u ON u.day <= d.d0 AND u.day >= d.d0 - 6
+  GROUP BY d.d0
+)
+SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.day = wau.d0""",
         "g_mutual_triangles": f"""
 WITH {_sequence_cte('ff')},
 rc AS (
