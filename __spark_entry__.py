@@ -337,6 +337,25 @@ def _q_reciprocity(spark, sf):
     )
 
 
+def _q_nepotism(spark, sf):
+    """In-link host domination per page: total in-links, the in-link
+    count from the single dominant source host, and their ratio — the
+    nepotistic-link signal (a page whose links come overwhelmingly
+    from one host is farm-boosted, not organically endorsed). Two
+    map-side-combined aggregates — (dst, src-host) then dst — both on
+    content keys; the exact n/d pair rides with the rounded ratio."""
+    e = coorder_edges(spark, sf)
+    per_host = e.groupBy(
+        F.col("dst").alias("id"),
+        (F.col("src") % 16).cast("long").alias("shost"),
+    ).agg(F.count("*").alias("c"))
+    return per_host.groupBy("id").agg(
+        F.sum("c").alias("n_in"),
+        F.max("c").alias("top_host_in"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("domination"),
+    )
+
+
 def _q_host_fanout(spark, sf):
     """Cross-host fan-out per page: outlink count and number of
     DISTINCT target hosts (host = id % 16, the url_of mapping) — the
@@ -2573,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_mutual_triangles": _q_mutual_triangles,
         "p_host_fanout": _q_host_fanout,
         "ev_dau": _q_events_dau,
+        "g_nepotism": _q_nepotism,
     }
 
 
@@ -4049,6 +4069,16 @@ FROM pr GROUP BY host""",
         "g_scc_dag": _scc_dag_sql(thr="0a"),
         "g_bowtie": _bowtie_sql(thr="0a"),
         "g_reciprocity": _reciprocity_sql(),
+        "g_nepotism": f"""
+WITH {_EDGES_CTE.strip()},
+ph AS (
+  SELECT dst AS id, src % 16 AS shost, count(*) AS c
+  FROM edges GROUP BY 1, 2
+)
+SELECT id, CAST(sum(c) AS BIGINT) AS n_in,
+       CAST(max(c) AS BIGINT) AS top_host_in,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS domination
+FROM ph GROUP BY id""",
         "p_host_fanout": f"""
 WITH {_EDGES_CTE.strip()}
 SELECT src AS id, count(*) AS n_out,
