@@ -239,6 +239,19 @@ def main() -> None:
             qs["e_sq_topk"],
         ),
         (
+            "g_nepotism — in-link host domination",
+            "Two stacked HashAggregates, both with map-side partial"
+            " aggregation on content keys; no joins, no windows.",
+            qs["g_nepotism"],
+        ),
+        (
+            "ev_dau — DAU / trailing-7-day WAU / stickiness",
+            "One (user, day) distinct; the WAU join moves only the"
+            " day-bounded (user, day) frame (7 rows per user-day), never"
+            " the event table twice.",
+            qs["ev_dau"],
+        ),
+        (
             "g_absorb4 — first-hit absorption counts (one round shown)",
             "Katz dual regime mirrored forward: the static edge table is"
             " partitioned on the aggregation key (src), the vertex-sized"
