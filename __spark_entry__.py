@@ -337,6 +337,25 @@ def _q_reciprocity(spark, sf):
     )
 
 
+def _q_ivf_balance(spark, sf):
+    """IVF index balance: vectors per coarse cell (similarity.py::
+    ivf_cells — the SAME assignment expressions the e_ivf_topk search
+    path uses, so these are the real index's skew numbers; a hot cell
+    here is exactly the probe-time straggler). One map-side-combined
+    aggregate over the bounded cell domain. Twin reuses the assignment
+    CTE of the e_ivf_topk twin."""
+    from louvain_communities_openmp_spark.operators.similarity import (
+        ivf_cells,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    return (
+        ivf_cells(emb, n_cells=16)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
 def _q_nepotism(spark, sf):
     """In-link host domination per page: total in-links, the in-link
     count from the single dominant source host, and their ratio — the
@@ -2593,6 +2612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_host_fanout": _q_host_fanout,
         "ev_dau": _q_events_dau,
         "g_nepotism": _q_nepotism,
+        "e_ivf_balance": _q_ivf_balance,
     }
 
 
@@ -2878,6 +2898,31 @@ SELECT query_id, neighbor_id, sim FROM (
                             ORDER BY sim DESC, neighbor_id ASC) AS rn
   FROM pairs) WHERE rn <= {k}
 """
+
+
+def _ivf_balance_sql(n_cells: int = 16) -> str:
+    """Cell-size histogram over the SAME assignment CTEs as
+    _ivf_topk_sql — the index-balance diagnostic."""
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+  FROM emb ORDER BY vec_id LIMIT {n_cells}
+),
+sims AS MATERIALIZED (
+  SELECT e.vec_id, c.cid, {_cos_sql('e.v', 'c.cv')} AS s
+  FROM emb e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY s DESC, cid ASC) AS rn
+    FROM sims) WHERE rn = 1
+)
+SELECT cell, count(*) AS n_vectors FROM assign GROUP BY cell"""
 
 
 def _lsh_topk_sql(k: int = 10, planes: int = 12, probe_hamming: int = 2,
@@ -4471,6 +4516,7 @@ SELECT DISTINCT doc, fp FROM wmin WHERE pos <= greatest(1, ng - 4 + 1)""",
         "d_simhash_pairs": _simhash_pairs_sql(),
         "e_lsh_topk": _lsh_topk_sql(),
         "e_ivf_topk": _ivf_topk_sql(),
+        "e_ivf_balance": _ivf_balance_sql(),
         "e_embed_neardup": _embed_neardup_sql(),
         "e_cosine_topk": """
 WITH q AS (

@@ -203,6 +203,48 @@ def embedding_neardup_pairs(
     )
 
 
+def ivf_cells(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    _cent_vecs: list | None = None,
+) -> DataFrame:
+    """The IVF cell-assignment pass of cosine_topk_ivf, exposed on its
+    own for index diagnostics: (vec_id, cv, cell) with cell = 1-based
+    argmax-cosine centroid id, lowest-cell tie-break — identical
+    expressions to the search path, so balance numbers describe the
+    real index. Centroids ship as broadcast literals inside
+    whole-stage codegen (no Python in the scan)."""
+    if _cent_vecs is None:
+        cents = (
+            embeddings.orderBy(id_col)
+            .limit(n_cells)
+            .select(as_double(F.col(vec_col)).alias("cv"))
+            .collect()
+        )
+        _cent_vecs = [r["cv"] for r in cents]
+
+    def sims_arr(vec: Column) -> Column:
+        return F.array(*[
+            cosine(vec, F.array(*[F.lit(float(x)) for x in cv]))
+            for cv in _cent_vecs
+        ])
+
+    return (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            as_double(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("sims", sims_arr(F.col("cv")))
+        .withColumn(
+            "cell",
+            F.array_position(F.col("sims"), F.array_max("sims")).cast("long"),
+        )
+        .drop("sims")
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -250,13 +292,10 @@ def cosine_topk_ivf(
             for cv in cent_vecs
         ])
 
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        as_double(F.col(vec_col)).alias("cv"),
-    ).withColumn("sims", sims_arr(F.col("cv"))).withColumn(
-        "cell",
-        F.array_position(F.col("sims"), F.array_max("sims")).cast("long"),
-    ).drop("sims")
+    c = ivf_cells(
+        embeddings, n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+        _cent_vecs=cent_vecs,
+    ).withColumnRenamed("vec_id", "neighbor_id")
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     ).withColumn(
