@@ -337,6 +337,27 @@ def _q_reciprocity(spark, sf):
     )
 
 
+def _q_giant_component(spark, sf):
+    """Giant-component KPI: component count, giant size, and the giant
+    share of vertices — the one-row connectivity health check run
+    before any link-graph job (a fragmented crawl means extraction or
+    seeding broke). Composition over the verified hash-min +
+    pointer-jump kernel; the aggregate is component-count-sized. Twin
+    wraps the g_components closure SQL."""
+    from louvain_communities_openmp_spark.operators.components import (
+        connected_components,
+    )
+
+    comp = connected_components(coorder_edges(spark, sf)).components
+    sizes = comp.groupBy("comp").agg(F.count("*").alias("n"))
+    return sizes.agg(
+        F.count("*").alias("n_components"),
+        F.max("n").alias("giant_size"),
+        F.sum("n").alias("n_vertices"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("giant_share"),
+    )
+
+
 def _q_ivf_balance(spark, sf):
     """IVF index balance: vectors per coarse cell (similarity.py::
     ivf_cells — the SAME assignment expressions the e_ivf_topk search
@@ -2613,6 +2634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_dau": _q_events_dau,
         "g_nepotism": _q_nepotism,
         "e_ivf_balance": _q_ivf_balance,
+        "g_giant_component": _q_giant_component,
     }
 
 
@@ -4109,6 +4131,14 @@ FROM pr GROUP BY host""",
         "g_betweenness8": _betweenness_sql(n_sources=8, depth=8),
         "g_sssp6": _sssp_sql(n_sources=4, rounds=6),
         "g_components": _components_sql(),
+        "g_giant_component": f"""
+WITH res AS ({_components_sql()}),
+sz AS (SELECT comp, count(*) AS n FROM res GROUP BY comp)
+SELECT count(*) AS n_components,
+       CAST(max(n) AS BIGINT) AS giant_size,
+       CAST(sum(n) AS BIGINT) AS n_vertices,
+       round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS giant_share
+FROM sz""",
         "g_scc": _scc_sql(thr="0a"),
         "g_partition_nmi": _partition_nmi_sql(thr="0a"),
         "g_scc_dag": _scc_dag_sql(thr="0a"),
