@@ -37,11 +37,70 @@ class ComponentsResult:
     iterations: int
 
 
+def _components_local(
+    edges: DataFrame, bound: int, max_iter: int = 200
+) -> ComponentsResult | None:
+    """Driver-side numpy finish for small graphs (≤ ``bound`` directed
+    edges) — the same measured-optimal representation swap the Louvain
+    auto mode performs (louvain.py small_graph_edges): at this size the
+    whole label-propagation fixpoint costs less in numpy than a single
+    distributed round's fixed overhead. The iteration body is the EXACT
+    numpy transcription of the distributed round (hash-min over src→dst
+    followed by one pointer jump, labels compared to the round's
+    starting labels), so the per-round label states — and therefore the
+    final components frame and the iteration count — are identical to
+    the distributed path's (pinned by tests/test_components_fastpath.py).
+
+    Returns None when the graph exceeds the bound (probe via LIMIT:
+    under the bound the probe already IS the full edge set, so the
+    fast path costs no extra pass; over it, the probe short-circuits).
+    """
+    import numpy as np
+    import pandas as pd
+
+    tbl = edges.select("src", "dst").limit(bound + 1).toArrow()
+    if tbl.num_rows > bound or tbl.num_rows == 0:
+        return None
+    src = tbl.column("src").to_numpy().astype(np.int64, copy=False)
+    dst = tbl.column("dst").to_numpy().astype(np.int64, copy=False)
+    # vertex set: unique(src) suffices on symmetric tables (saves the
+    # 2E concat sort); dst-subset check guards the general case
+    ids = np.unique(src)
+    dp = np.searchsorted(ids, dst)
+    covered = (dp < len(ids)) & (ids[np.minimum(dp, len(ids) - 1)] == dst)
+    if not bool(covered.all()):
+        ids = np.unique(np.concatenate([src, dst]))
+        dp = np.searchsorted(ids, dst)
+    sp = np.searchsorted(ids, src)
+    loop = sp != dp
+    sp, dp = sp[loop], dp[loop]
+    comp = np.arange(len(ids), dtype=np.int64)
+    it = 0
+    while it < max_iter:
+        # phase 1 — hash-min over edges (comp(dst) ← min in-nbr comp);
+        # phase 2 — ONE pointer jump comp(u) ← comp(comp(u));
+        # labels are positions here, values resolved through ids at the
+        # end (labels only decrease, exactly like the DataFrame rounds)
+        c1 = comp.copy()
+        np.minimum.at(c1, dp, comp[sp])
+        new = c1[c1]
+        it += 1
+        if bool(np.array_equal(new, comp)):
+            break
+        comp = new
+    out = pd.DataFrame({"id": ids, "comp": ids[comp]})
+    spark = edges.sparkSession
+    return ComponentsResult(
+        spark.createDataFrame(out, "id long, comp long"), it
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 200,
     broadcast_vertices: int = 5_000_000,
     initial_components: DataFrame | None = None,
+    small_graph_edges: int = 4_000_000,
 ) -> ComponentsResult:
     """``initial_components`` (id, comp) warm-starts the label arrays —
     valid whenever the provided labels are a REFINEMENT upper bound of
@@ -51,6 +110,16 @@ def connected_components(
     to min-over-initial-labels = the true min vertex id per component,
     in rounds proportional to the DELTA's reach, not the diameter).
     Vertices absent from the frame seed as singletons."""
+    # measured-optimal serial finish (guide §1.2: fix the distributed
+    # algorithm first — at ≤ small_graph_edges the whole fixpoint is
+    # cheaper in the driver than ONE distributed round's fixed
+    # overhead; same bound and rationale as louvain.py's
+    # small_graph_edges). At 100 TB the probe short-circuits and the
+    # distributed rounds below run unchanged.
+    if initial_components is None and small_graph_edges > 0:
+        local = _components_local(edges, small_graph_edges, max_iter)
+        if local is not None:
+            return local
     # Two regimes, same answer (see labelprop.py for the full rationale):
     # - V small: e partitioned on the AGGREGATION key (dst), frontier
     #   BROADCAST into the src join → the hash-min phase runs with zero

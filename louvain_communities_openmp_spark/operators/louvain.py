@@ -1227,11 +1227,12 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         int(spark.conf.get("spark.sql.shuffle.partitions")), 1
     )
     original_edges = edges
-    m_total = total_weight_m(edges)
-    if m_total <= 0:
-        return LouvainResult(
-            spark.createDataFrame([], MEMBERSHIP_SCHEMA), 0.0, 0, 0, []
-        )
+    # M is only needed by the distributed paths (the serial auto finish
+    # computes it from the arrays it already collected) — deferred so
+    # an auto run that collapses into the driver saves one aggregate
+    # job over the full edge table (guide §1.2: don't compute what the
+    # chosen path throws away)
+    m_total: float | None = None
 
     p = 0
     ucom: DataFrame | None = None  # original vertex → current-level vertex
@@ -1252,6 +1253,7 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
     pass_log: list = []
     total_iters = 0
     final_mem: DataFrame | None = None
+    q_fast: float | None = None  # driver-computed Q (pure-serial solve)
     while p < opts.max_passes:
         E = opts.tolerance / (opts.tolerance_drop ** p)
         n_edges = edges.count()
@@ -1262,21 +1264,44 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             import numpy as np
 
             t0 = time.time()
-            # distributed (src, dst, w) sort BEFORE the collect: the
-            # sequential kernel detects lex-sorted input and skips its
-            # own single-threaded O(E log E) lexsort — the sort runs on
-            # all cores instead. Arrow-direct collect (toArrow →
-            # zero-copy numpy columns) skips the pandas block-manager
+            # plain Arrow-direct collect (no distributed orderBy: the
+            # range exchange + its sampling pass cost more than the
+            # driver-side packed-key radix argsort below at the ≤4M-edge
+            # bound — measured 0.9s vs 0.35s at sf0.1). toArrow →
+            # zero-copy numpy columns skips the pandas block-manager
             # consolidation that costs seconds at ~2M rows.
-            tbl = (
-                edges.select("src", "dst", "w")
-                .orderBy("src", "dst", "w")
-                .toArrow()
-            )
+            tbl = edges.select("src", "dst", "w").toArrow()
             src_a = tbl.column("src").to_numpy().astype(np.int64, copy=False)
             dst_a = tbl.column("dst").to_numpy().astype(np.int64, copy=False)
             w_arr = tbl.column("w").to_numpy().astype(np.float64, copy=False)
-            ids = np.unique(np.concatenate([src_a, dst_a]))
+            if len(src_a) == 0 or float(w_arr.sum()) <= 0.0:
+                # empty/zero-weight graph: the old m_total <= 0 contract
+                return LouvainResult(
+                    spark.createDataFrame([], MEMBERSHIP_SCHEMA), 0.0, 0, 0, []
+                )
+            # vertex set: unique(src) suffices on the engine's symmetric
+            # tables (every vertex appears as a source — saves sorting
+            # the 2E concat); a dst-subset check guards the general
+            # case with the full unique as fallback
+            ids = np.unique(src_a)
+            pos_d = np.searchsorted(ids, dst_a)
+            covered = (pos_d < len(ids)) & (
+                ids[np.minimum(pos_d, len(ids) - 1)] == dst_a
+            )
+            if not bool(covered.all()):
+                ids = np.unique(np.concatenate([src_a, dst_a]))
+                pos_d = np.searchsorted(ids, dst_a)
+            pos_s = np.searchsorted(ids, src_a)
+            # (src, dst)-sort via a packed-key stable argsort (radix-
+            # class, single key). The w-minor ordering only matters when
+            # duplicate (src, dst) rows exist (the kernel's max-w
+            # collapse policy); fall back to the full lexsort then.
+            key = pos_s * np.int64(len(ids)) + pos_d
+            order = np.argsort(key, kind="stable")
+            ks = key[order]
+            if len(ks) > 1 and bool((ks[1:] == ks[:-1]).any()):
+                order = np.lexsort((w_arr, pos_d, pos_s))
+            pos_s, pos_d, w_arr = pos_s[order], pos_d[order], w_arr[order]
             init_arr = None
             init_aff_arr = None
             if p == 0 and opts.initial_membership is not None:
@@ -1306,8 +1331,8 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                     ok = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)] == av)
                     init_aff_arr = pos[ok]
             r = louvain_seq_fast(
-                np.searchsorted(ids, src_a),
-                np.searchsorted(ids, dst_a),
+                pos_s,
+                pos_d,
                 w_arr,
                 resolution=opts.resolution, tolerance=E,
                 tolerance_drop=opts.tolerance_drop,
@@ -1325,6 +1350,29 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 MEMBERSHIP_SCHEMA,
             )
             final_mem = _compose(ucom, mem).persist()
+            if ucom is None:
+                # the whole solve collapsed into pass 0 over the input
+                # edge table: Q is a driver-side aggregate over the
+                # arrays already in hand (the exact modularity_op
+                # formula; summation-order drift is ~1e-15, six orders
+                # inside the g_louvain twin's 1e-9 gate), replacing the
+                # membership double-join + aggregate job. Materialize
+                # the membership cache here, as modularity_op used to.
+                final_mem.count()
+                com = np.asarray(r.membership, dtype=np.int64)
+                cu_q = com[pos_s]
+                same_q = cu_q == com[pos_d]
+                m0 = float(w_arr.sum()) / 2.0
+                cin_q = np.bincount(
+                    cu_q[same_q], weights=w_arr[same_q], minlength=len(ids)
+                )
+                ctf_q = np.bincount(cu_q, weights=w_arr, minlength=len(ids))
+                q_fast = float(
+                    (
+                        cin_q / (2.0 * m0)
+                        - opts.resolution * (ctf_q / (2.0 * m0)) ** 2
+                    ).sum()
+                )
             total_iters += r.iterations
             pass_log.append({
                 "pass": p, "mode": "local_finish", "edges": n_edges,
@@ -1340,6 +1388,12 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             p += r.passes
             break
 
+        if m_total is None:
+            m_total = total_weight_m(original_edges)
+            if m_total <= 0:
+                return LouvainResult(
+                    spark.createDataFrame([], MEMBERSHIP_SCHEMA), 0.0, 0, 0, []
+                )
         t0 = time.time()
         vtot = vertex_weights(edges).persist()
         gn = vtot.count()
@@ -1635,5 +1689,9 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         final_mem = (ucom if ucom is not None else edges.sparkSession.createDataFrame([], MEMBERSHIP_SCHEMA)).persist()
     if run is not None:
         run.save_pass(p - 1, edges, final_mem, {"done": True, "total_iterations": total_iters})
-    q = modularity_op(original_edges, final_mem, opts.resolution)
+    q = (
+        q_fast
+        if q_fast is not None
+        else modularity_op(original_edges, final_mem, opts.resolution)
+    )
     return LouvainResult(final_mem, q, p, total_iters, pass_log)
