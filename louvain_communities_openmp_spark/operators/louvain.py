@@ -778,16 +778,25 @@ def _write_block_cache(edges_b: DataFrame, cache_dir: str, bcs) -> None:
             ids, _, _ = bcs.value
             src = np.concatenate([c["src"].to_numpy(dtype=np.int64) for c in chunks])
             dst = np.concatenate([c["dst"].to_numpy(dtype=np.int64) for c in chunks])
+            w = np.concatenate(
+                [c["w"].to_numpy(dtype=np.float64) for c in chunks]
+            )
             si = np.searchsorted(ids, src)
             di = np.searchsorted(ids, dst)
+            # establish the (src, dst) contiguous-adjacency order here
+            # (packed-key stable argsort) so the JVM partition sort can
+            # be skipped on the cache path; no-op permutations are
+            # detected cheaply
+            key = si * np.int64(len(ids)) + di
+            if len(key) > 1 and bool((key[1:] < key[:-1]).any()):
+                order = np.argsort(key, kind="stable")
+                si, di, w = si[order], di[order], w[order]
             lids = np.unique(np.concatenate([si, di]))
             np.savez(
                 os.path.join(cache_dir, f"b{pid}.npz"),
                 si=si,
                 di=di,
-                w=np.concatenate(
-                    [c["w"].to_numpy(dtype=np.float64) for c in chunks]
-                ),
+                w=w,
                 lids=lids,
                 ls=np.searchsorted(lids, si),
                 ld=np.searchsorted(lids, di),
@@ -1000,6 +1009,30 @@ def _driver_rounds(
             prev_el = el
             if iters >= 3 and stall_rounds >= 2:
                 break
+        # driver-side modularity of THIS pass's membership over THIS
+        # pass's edges, straight from the npz block cache (~0.05s of
+        # numpy) — the caller uses it to skip the final membership
+        # double-join job when this pass IS the whole solve. Identical
+        # formula to properties.modularity (csrc grouping, ctot from
+        # vertex weights); summation-order drift ~1e-15.
+        if cache_dir is not None:
+            clab_f, cidx = np.unique(com, return_inverse=True)
+            C = len(clab_f)
+            cin = np.zeros(C, dtype=np.float64)
+            for fname in sorted(os.listdir(cache_dir)):
+                z = np.load(os.path.join(cache_dir, fname))
+                si, di, wb = z["si"], z["di"], z["w"]
+                same = cidx[si] == cidx[di]
+                cin += np.bincount(
+                    cidx[si][same], weights=wb[same], minlength=C
+                )
+            ctot_f = np.bincount(cidx, weights=vt, minlength=C)
+            two_m = 2.0 * m_total
+            q_cand = float(
+                (cin / two_m - opts.resolution * (ctot_f / two_m) ** 2).sum()
+            )
+        else:
+            q_cand = None
     finally:
         # cleanup on ALL paths (incl. ownership-invariant RuntimeError /
         # task failures) — a mid-loop exception must not leak the temp
@@ -1020,7 +1053,10 @@ def _driver_rounds(
     mem = spark.createDataFrame(
         pd.DataFrame({"id": ids, "com": com}), MEMBERSHIP_SCHEMA
     )
-    return mem, iters, el_pass, int(len(np.unique(com))), round_times, processed
+    return (
+        mem, iters, el_pass, int(len(np.unique(com))), round_times,
+        processed, q_cand,
+    )
 
 
 def _local_move_round(
@@ -1356,9 +1392,8 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
                 # arrays already in hand (the exact modularity_op
                 # formula; summation-order drift is ~1e-15, six orders
                 # inside the g_louvain twin's 1e-9 gate), replacing the
-                # membership double-join + aggregate job. Materialize
-                # the membership cache here, as modularity_op used to.
-                final_mem.count()
+                # membership double-join + aggregate job (the function
+                # tail materializes the membership cache instead)
                 com = np.asarray(r.membership, dtype=np.int64)
                 cu_q = com[pos_s]
                 same_q = cu_q == com[pos_d]
@@ -1388,15 +1423,33 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             p += r.passes
             break
 
+        t0 = time.time()
+        vtot = vertex_weights(edges).persist()
+        # vertex count + (on the broadcast path) the driver copy of
+        # vtot in ONE job: a LIMIT probe at the gate either returns the
+        # complete frame (≤ gate ⇒ it IS the toPandas the driver rounds
+        # need) or proves V > gate — replacing the separate count() +
+        # toPandas() pair
+        _vt_probe = vtot.limit(opts.broadcast_vertices + 1).toPandas()
+        if len(_vt_probe) <= opts.broadcast_vertices:
+            gn = len(_vt_probe)
+            vtot_pdf = _vt_probe
+        else:
+            gn = vtot.count()
+            vtot_pdf = None
         if m_total is None:
-            m_total = total_weight_m(original_edges)
+            # M = Σw/2 = Σvtot/2: when the full vtot frame is already on
+            # the driver this is a free pandas sum instead of another
+            # edge-table aggregate job (contraction preserves Σw, so
+            # this equals M of the original graph on any pass).
+            if vtot_pdf is not None:
+                m_total = float(_vt_probe["vtot"].sum()) / 2.0
+            else:
+                m_total = total_weight_m(original_edges)
             if m_total <= 0:
                 return LouvainResult(
                     spark.createDataFrame([], MEMBERSHIP_SCHEMA), 0.0, 0, 0, []
                 )
-        t0 = time.time()
-        vtot = vertex_weights(edges).persist()
-        gn = vtot.count()
         _dbg = os.environ.get("LOUVAIN_DEBUG_TIMING")
         # evidence probe (see _shuffle_totals): per-pass setup vs
         # per-iteration shuffle volume, recorded into pass_log
@@ -1416,6 +1469,7 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             else None
         )
         cn: int | None = None
+        q_cand: float | None = None  # driver-computed Q (broadcast path)
         # partition + sort the edge table by kernel block ONCE per
         # pass (the analog of the reference's per-pass CSR rebuild,
         # louvain.hxx:1174-1176): no iteration ever shuffles or
@@ -1427,18 +1481,30 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
             # srcs straight into partitions (one extra pmod layer
             # would funnel 32 block values through murmur3 and leave
             # ~⅓ of partitions empty — balls-in-bins)
-            edges_b = (
-                edges.repartition(blocks_pass, "src")
-                .sortWithinPartitions("src", "dst")
-                .persist()
-            )
-            edges_b.count()
+            # local mode: the npz block cache re-sorts each block in
+            # numpy (packed-key argsort inside the writer — cheaper
+            # than the JVM per-partition sort it replaces); the
+            # cluster-shaped path still sorts in the JVM because the
+            # per-iteration kernels need the contiguous-adjacency order
+            # on every read
+            _local_cache = spark.sparkContext.master.startswith("local")
+            eb_ = edges.repartition(blocks_pass, "src")
+            if not _local_cache:
+                eb_ = eb_.sortWithinPartitions("src", "dst")
+            edges_b = eb_.persist()
             if _probe:
+                # force the shuffle here only when measuring, so the
+                # setup-bytes attribution stays exact; otherwise the
+                # first consumer (block-cache writer / round 0)
+                # materializes the persist without an extra scan
+                edges_b.count()
                 _s1 = _shuffle_totals(spark)
                 shuffle_setup = (_s1[0] - _sh0[0], _s1[1] - _sh0[1])
                 _sh0 = _s1
-            mem, iters, el_pass, cn, round_times, processed = _driver_rounds(
-                spark, edges_b, vtot.toPandas(), init_mem, opts,
+            (
+                mem, iters, el_pass, cn, round_times, processed, q_cand,
+            ) = _driver_rounds(
+                spark, edges_b, vtot_pdf, init_mem, opts,
                 m_total, E, gate, p, _dbg, blocks_pass=blocks_pass,
                 affected=(
                     opts.affected_vertices if init_mem is not None else None
@@ -1656,6 +1722,8 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         # louvain.hxx:1186, adapted to gated rounds)
         if el_pass <= E or p >= opts.max_passes:
             final_mem = _compose(ucom, mem).persist()
+            if ucom is None:
+                q_fast = q_cand  # this pass IS the whole solve
             pass_log.append(rec)
             break
         if cn is None:
@@ -1664,6 +1732,8 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         pass_log.append(rec)
         if cn / gn >= opts.aggregation_tolerance:
             final_mem = _compose(ucom, mem).persist()
+            if ucom is None:
+                q_fast = q_cand
             break
         t1 = time.time()
         mem_r = _renumber(mem).persist()
@@ -1689,9 +1759,11 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         final_mem = (ucom if ucom is not None else edges.sparkSession.createDataFrame([], MEMBERSHIP_SCHEMA)).persist()
     if run is not None:
         run.save_pass(p - 1, edges, final_mem, {"done": True, "total_iterations": total_iters})
-    q = (
-        q_fast
-        if q_fast is not None
-        else modularity_op(original_edges, final_mem, opts.resolution)
-    )
+    if q_fast is not None:
+        # materialize the persisted membership (modularity_op used to
+        # force it as a side effect of the skipped join job)
+        final_mem.count()
+        q = q_fast
+    else:
+        q = modularity_op(original_edges, final_mem, opts.resolution)
     return LouvainResult(final_mem, q, p, total_iters, pass_log)

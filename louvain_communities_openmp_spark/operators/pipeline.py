@@ -512,6 +512,12 @@ def bm25_scores(
         .where(F.col("token").isin(terms))
         .groupBy(id_col, "token", "dl")
         .agg(F.count("*").alias("tf"))
+        # eager checkpoint: materializes the matched-rows aggregate (the
+        # one consumer of ``base``) so base can be unpersisted before
+        # returning — sibling operators (katz_fixed, mis_rounds) already
+        # follow this no-leaked-cache discipline; repeated bench/driver
+        # invocations previously accumulated doc-sized cached frames
+        .localCheckpoint(eager=True)
     )
     df_t = tf.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
     idf = F.log(
@@ -538,7 +544,8 @@ def bm25_scores(
         F.count("*").alias("n_terms_matched"),
         F.round(F.sum("score"), 6).alias("bm25"),
     )
-    # base stays persisted until the caller's action: the returned
-    # plan reads it once for tf (stats were already collected), and
-    # the cache is doc-sized — reclaimed by the context cleaner.
+    # tf is checkpointed above (the only reader of base), so the
+    # doc-sized cache can be released immediately instead of waiting
+    # for the context cleaner
+    base.unpersist()
     return out

@@ -75,10 +75,6 @@ def modularity(
     ⋈ membership(dst) → per-community (cin, ctot) → closed-form sum.
     ``membership(id, com)`` must cover every vertex with out-edges.
     """
-    if m is None:
-        m = total_weight_m(edges)
-    if m <= 0:
-        return 0.0
     ms = membership.select(F.col("id").alias("src"), F.col("com").alias("csrc"))
     md = membership.select(F.col("id").alias("dst"), F.col("com").alias("cdst"))
     per_com = (
@@ -90,6 +86,27 @@ def modularity(
             F.sum("w").alias("ctot"),
         )
     )
+    if m is None:
+        # fold M into the same aggregate: M = Σ_c ctot_c / 2, so
+        # Σcin, Σctot, Σctot² from ONE per-community pass replace the
+        # separate edge-weight job + the closed-form job (q =
+        # Σcin/(2M) − R·Σctot²/(2M)²; summation-order drift ~1e-15)
+        row = per_com.agg(
+            F.sum("cin").alias("sc"),
+            F.sum("ctot").alias("st"),
+            F.sum(F.col("ctot") * F.col("ctot")).alias("st2"),
+        ).collect()[0]
+        st = float(row["st"] or 0.0)
+        if st <= 0.0:
+            # Σctot = Σw = 2M: covers the m <= 0 early-return contract
+            # (a zero/negative-total graph scores 0)
+            return 0.0
+        return float(
+            float(row["sc"] or 0.0) / st
+            - resolution * float(row["st2"] or 0.0) / (st * st)
+        )
+    if m <= 0:
+        return 0.0
     two_m = 2.0 * m
     q = per_com.agg(
         F.sum(

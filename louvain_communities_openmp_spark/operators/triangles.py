@@ -99,7 +99,66 @@ def _triangles(o: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count_total(edges: DataFrame) -> int:
+def _triangle_total_local(edges: DataFrame, bound: int) -> int | None:
+    """Driver-side native finish for small graphs (≤ ``bound``
+    CANONICAL src<dst pairs ≈ 2·bound directed edges) — the same
+    measured-optimal representation swap as louvain/components/
+    labelprop (louvain.py small_graph_edges): the whole count is one
+    numpy orientation pass plus a C sorted-merge sweep
+    (oracle/_cmove.py triangle_count_csr), the exact transcription of
+    the distributed plan (degree-(deg,id) orientation, sorted
+    adjacency, per-edge intersection), so the total is identical —
+    pinned by tests/test_components_fastpath.py.
+
+    Returns None above the bound or when no native kernel is available
+    (LIMIT probe: under the bound the probe already IS the canonical
+    edge set, so no extra pass is paid).
+    """
+    import numpy as np
+
+    from ..oracle._cmove import get_local_move, triangle_count_csr_c
+
+    if get_local_move() is None:
+        return None
+    tbl = (
+        edges.select("src", "dst")
+        .where(F.col("src") < F.col("dst"))
+        .limit(bound + 1)
+        .toArrow()
+    )
+    if tbl.num_rows > bound:
+        return None
+    if tbl.num_rows == 0:
+        return 0
+    s = tbl.column("src").to_numpy().astype(np.int64, copy=False)
+    d = tbl.column("dst").to_numpy().astype(np.int64, copy=False)
+    ids = np.unique(np.concatenate([s, d]))
+    V = len(ids)
+    sp = np.searchsorted(ids, s)
+    dp = np.searchsorted(ids, d)
+    key = np.unique(sp * np.int64(V) + dp)  # the _canonical distinct
+    sp, dp = key // V, key % V
+    deg = np.bincount(sp, minlength=V) + np.bincount(dp, minlength=V)
+    # orient low-(deg, id) → high; position order == id order, and
+    # sp < dp already holds, so the deg-tie case keeps fwd
+    fwd = (deg[sp] < deg[dp]) | (deg[sp] == deg[dp])
+    u = np.where(fwd, sp, dp)
+    v = np.where(fwd, dp, sp)
+    okey = u * np.int64(V) + v
+    okey.sort()  # distinct by construction → sorted adjacency per u
+    uu, vv = okey // V, okey % V
+    indptr = np.zeros(V + 1, dtype=np.int64)
+    indptr[1:] = np.cumsum(np.bincount(uu, minlength=V))
+    return triangle_count_csr_c(indptr, np.ascontiguousarray(vv))
+
+
+def triangle_count_total(
+    edges: DataFrame, small_graph_edges: int = 2_000_000
+) -> int:
+    if small_graph_edges > 0:
+        local = _triangle_total_local(edges, small_graph_edges)
+        if local is not None:
+            return local
     o = _oriented(edges).persist()
     try:
         return _triangles(o).count()

@@ -174,6 +174,33 @@ int64_t labelprop_rounds(
     free(stamp); free(pos); free(keys); free(vals); free(newlab);
     return it;
 }
+
+/* Edge-iterator triangle count over a degree-ordered oriented CSR
+   (out-adjacency sorted ascending, duplicate-free): for every oriented
+   edge (u, a), count |N(u) ∩ N(a)| by sorted-merge — the native
+   transcription of triangles.py's array_intersect plan. The oriented
+   outdeg ≤ O(√E) bound caps per-edge cost exactly as it caps the
+   distributed plan's array widths. */
+int64_t triangle_count_csr(
+    const int64_t *indptr, const int64_t *indices, int64_t n)
+{
+    int64_t total = 0;
+    for (int64_t u = 0; u < n; u++) {
+        const int64_t ue = indptr[u + 1];
+        for (int64_t j = indptr[u]; j < ue; j++) {
+            const int64_t a = indices[j];
+            int64_t i1 = indptr[u], i2 = indptr[a];
+            const int64_t e1 = ue, e2 = indptr[a + 1];
+            while (i1 < e1 && i2 < e2) {
+                const int64_t x = indices[i1], y = indices[i2];
+                if (x < y) i1++;
+                else if (y < x) i2++;
+                else { total++; i1++; i2++; }
+            }
+        }
+    }
+    return total;
+}
 """
 
 _CFLAGS = ["-O2", "-fPIC", "-shared", "-ffp-contract=off"]
@@ -240,6 +267,13 @@ def get_local_move():
             ctypes.POINTER(ctypes.c_int64),   # lab
             ctypes.c_int64,                   # max_iter
         ]
+        tc = lib.triangle_count_csr
+        tc.restype = ctypes.c_int64
+        tc.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),   # indptr
+            ctypes.POINTER(ctypes.c_int64),   # indices
+            ctypes.c_int64,                   # n
+        ]
         _lib = lib
         return fn
     except Exception:
@@ -279,6 +313,22 @@ def local_move_c(indptr, indices, weights, vcom, ctot, vaff, vtot, M, R, L, E):
     if iters < 0:
         return None
     return int(iters), int(processed.value)
+
+
+def triangle_count_csr_c(indptr, indices):
+    """Count triangles over a degree-ordered oriented CSR (sorted,
+    duplicate-free out-adjacency). Returns the total, or None when the
+    native kernel is unavailable."""
+    import numpy as np
+
+    if get_local_move() is None or _lib is None:
+        return None
+    for a in (indptr, indices):
+        if a.dtype != np.int64 or not a.flags["C_CONTIGUOUS"]:
+            return None
+    n = len(indptr) - 1
+    p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    return int(_lib.triangle_count_csr(p(indptr), p(indices), ctypes.c_int64(n)))
 
 
 def labelprop_rounds_c(indptr, indices, weights, lab, max_iter):

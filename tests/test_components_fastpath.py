@@ -74,6 +74,26 @@ def test_fastpath_gate_falls_through(spark):
     )
 
 
+def test_triangles_fastpath_matches_distributed(spark):
+    from louvain_communities_openmp_spark.operators.triangles import (
+        triangle_count_total,
+    )
+    from louvain_communities_openmp_spark.sources.edges import (
+        synthetic_powerlaw_edges,
+    )
+
+    e = _fixture_edges(spark).persist()
+    assert triangle_count_total(e) == triangle_count_total(
+        e, small_graph_edges=0
+    )
+    e.unpersist()
+    p = synthetic_powerlaw_edges(spark, 400, 3000).persist()
+    assert triangle_count_total(p) == triangle_count_total(
+        p, small_graph_edges=0
+    )
+    p.unpersist()
+
+
 def test_components_fastpath_powerlaw_parity(spark):
     # a denser deterministic fixture: hash-generated power-law graph
     from louvain_communities_openmp_spark.sources.edges import (
