@@ -49,6 +49,18 @@ def extract_links(html: pd.Series) -> pd.Series:
     return html.map(extract_links_py)
 
 
+# Exploding the extracted array triggers InferFiltersFromGenerate: the
+# inferred size(...)>0 predicate is pushed below the projection and the
+# optimizer DUPLICATES the ArrowEvalPython node, so every page's html
+# is regex-scanned twice (one eval feeding the pushed filter, one the
+# projection — the optimization guide's §4.4 pattern, verified in the
+# sf0.1 plan). The non-deterministic marking forbids duplicating or
+# reordering the expensive extraction; the explode itself still drops
+# empty arrays, so results are unchanged. Use THESE variants wherever
+# the array feeds a Generate.
+extract_links_once = extract_links.asNondeterministic()
+
+
 @pandas_udf(StringType())
 def extract_text(html: pd.Series) -> pd.Series:
     return html.map(extract_text_py)

@@ -24,6 +24,11 @@ from pyspark.sql import functions as F
 
 from ..functions.extract import extract_anchors
 
+# non-deterministic marking: stops InferFiltersFromGenerate from
+# duplicating the Arrow extraction below the explode (guide §4.4 —
+# same fix as functions.extract.extract_links_once)
+_extract_anchors_once = extract_anchors.asNondeterministic()
+
 
 def anchor_text_terms(pages: DataFrame) -> DataFrame:
     """Per target url: total inbound anchor terms and the dominant term.
@@ -34,7 +39,7 @@ def anchor_text_terms(pages: DataFrame) -> DataFrame:
     deterministic `max(struct(n, term))` contract).
     """
     toks = (
-        pages.select(F.explode(extract_anchors("html")).alias("an"))
+        pages.select(F.explode(_extract_anchors_once("html")).alias("an"))
         .select(
             F.col("an.href").alias("url"),
             F.explode(F.split("an.atext", " ")).alias("term"),

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.extract import extract_links
+from ..functions.extract import extract_links_once
 from ..operators.transforms import symmetricize
 
 EDGE_SCHEMA = "src long, dst long, w double"
@@ -112,7 +112,7 @@ def edges_from_pages(
     Returns (edges(src,dst,w), ids(url,id)).
     """
     links = (
-        pages.select(F.col("url").alias("src_url"), extract_links("html").alias("ls"))
+        pages.select(F.col("url").alias("src_url"), extract_links_once("html").alias("ls"))
         .select("src_url", F.explode("ls").alias("dst_url"))
     )
     ids = dense_ids(pages.select("url"), "url").persist()
