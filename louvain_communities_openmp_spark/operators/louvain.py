@@ -1430,8 +1430,11 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         # complete frame (≤ gate ⇒ it IS the toPandas the driver rounds
         # need) or proves V > gate — replacing the separate count() +
         # toPandas() pair
-        _vt_probe = vtot.limit(opts.broadcast_vertices + 1).toPandas()
-        if len(_vt_probe) <= opts.broadcast_vertices:
+        # LIMIT takes a Java int — clamp huge gates (e.g. the forced-
+        # broadcast 1<<40 used by the bigdist evidence runs)
+        _probe_n = min(opts.broadcast_vertices, 2**31 - 2)
+        _vt_probe = vtot.limit(_probe_n + 1).toPandas()
+        if len(_vt_probe) <= _probe_n:
             gn = len(_vt_probe)
             vtot_pdf = _vt_probe
         else:
@@ -1462,7 +1465,9 @@ def louvain(edges: DataFrame, opts: LouvainOptions | None = None) -> LouvainResu
         # a single block with gate=1 IS the sequential reference sweep
         blocks_pass = max(1, min(num_blocks, gn // opts.block_vertices or 1))
         gate = 1 if blocks_pass == 1 else 2
-        broadcast = gn <= opts.broadcast_vertices
+        # the driver copy must actually exist (the probe clamp can in
+        # principle leave it unset below a huge configured gate)
+        broadcast = vtot_pdf is not None and gn <= opts.broadcast_vertices
         init_mem = (
             opts.initial_membership
             if (p == 0 and opts.initial_membership is not None)
