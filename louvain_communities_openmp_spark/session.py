@@ -42,6 +42,13 @@ def get_spark(
         # optimizer fast and the UI quiet
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # the serial-finish LIMIT probes (components/labelprop/triangles/
+        # modularity/dense_ids) expect to SUCCEED on bounded inputs;
+        # default CollectLimit starts at 1 partition and rescans at 1,
+        # 4, 16, ... — starting at the session's partition count makes
+        # the common successful probe ONE job while still bounding the
+        # first scan on huge inputs (parameterized, not host-tuned)
+        .config("spark.sql.limit.initialNumPartitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
     )
