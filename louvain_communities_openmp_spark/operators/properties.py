@@ -105,7 +105,10 @@ def _modularity_local(
     cs = mcom[ps[keep]]
     cd = mcom[pdst[keep]]
     wk = w[keep]
-    clab, cidx = np.unique(cs, return_inverse=True)
+    # community index via the VERTEX-sized label domain (unique over
+    # mcom), not a sort of the edge-sized cs array
+    clab = np.unique(mcom)
+    cidx = np.searchsorted(clab, cs)
     ctot = np.bincount(cidx, weights=wk, minlength=len(clab))
     same = cs == cd
     cin = np.bincount(cidx[same], weights=wk[same], minlength=len(clab))
